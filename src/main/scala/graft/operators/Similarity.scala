@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Three tiers:
+  *   - `bruteForceTopK` — exact cosine top-k against a (broadcast) query
+  *     vector; the correctness baseline. Map-only scan + TakeOrderedAndProject;
+  *     at 100 TB this is one full pass, no shuffle.
+  *   - `ivfAssign`/`ivfTopK` — IVF-style inverted file: vectors are assigned
+  *     to their nearest centroid (broadcast centroid table, map-only), and a
+  *     query probes only its own cluster(s) — the scan shrinks by ~n_clusters.
+  *     Assignments can be persisted as a partition column so cluster probing
+  *     becomes parquet partition pruning.
+  *   - `signLsh` — random-hyperplane sign buckets (deterministic md5-derived
+  *     hyperplanes) for cosine LSH; bucket equality join replaces the scan.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `embeddings` (idCol, vecCol) vs the single-row
+    * `query` (vecCol). Cross-join with the broadcast 1-row query keeps the
+    * whole thing one lazy distributed plan.
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(toDouble(col(vecCol)).as("__q")))
+    embeddings
+      .crossJoin(q)
+      .withColumn("cosine", cosine(toDouble(col(vecCol)), col("__q")))
+      .orderBy(col("cosine").desc, col(idCol))
+      .select(col(idCol), col("cosine"))
+      .limit(k)
+  }
+
+  /** Assign each vector to its nearest centroid (argmin squared distance,
+    * ties → smallest centroid id). Broadcast join: map-only at any scale.
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      centroidIdCol: String): DataFrame = {
+    val c = broadcast(centroids.select(
+      col(centroidIdCol).as("__cid"), toDouble(col(vecCol)).as("__cvec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("__cid"))
+    embeddings
+      .crossJoin(c)
+      .withColumn("__d", distSq(toDouble(col(vecCol)), col("__cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(embeddings.columns.map(col) :+ col("__cid").as("cluster_id"): _*)
+  }
+
+  /** Top-k within the clusters selected by `clusterPred` (e.g. the query
+    * vector's own cluster, or several for multi-probe).
+    */
+  def ivfTopK(assigned: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+      clusterIds: Seq[Long], k: Int): DataFrame = {
+    val q = broadcast(query.select(toDouble(col(vecCol)).as("__q")))
+    assigned
+      .filter(col("cluster_id").isin(clusterIds: _*))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(toDouble(col(vecCol)), col("__q")))
+      .orderBy(col("cosine").desc, col(idCol))
+      .select(col(idCol), col("cluster_id"), col("cosine"))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket id: `nBits` hyperplanes with deterministic pseudo-random
+    * components derived from md5(plane || "|" || dim), mapped to [-0.5, 0.5).
+    * Bucket = sum over planes of bit * 2^plane where bit = (dot >= 0).
+    * Vectors in the same bucket are cosine-close candidates.
+    */
+  def signLshBucket(vecCol: Column, dims: Int, nBits: Int): Column = {
+    val planeComponent = (p: Column, i: Column) =>
+      conv(md5(concat(p.cast("string"), lit("|"), i.cast("string"))).substr(1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0) - lit(0.5)
+    val bitOf = (p: Column) => {
+      val d = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(dims - 1)),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)),
+        p => bitOf(p) * pow(lit(2.0), p.cast("double")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Graft
+
+/** One registered engine query: the Spark implementation plus (when
+  * SQL-expressible) an equivalent ANSI SQL oracle the driver runs in DuckDB
+  * over the same parquet tables.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+
+  /** Load a testdata table with timestamps normalized to TIMESTAMP_NTZ so
+    * engine output parquet carries naive timestamps — the same calendar
+    * values DuckDB's oracle produces (the reference likewise stores naive
+    * wall-clock timestamps; SURVEY §7.4.1).
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = Graft.table(s, dir, name)
+    val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType => d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _             => d
+      }
+    }
+    if (name == "events")
+      // nanos → micros (truncating, same as DuckDB) → naive timestamp
+      ntz.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else ntz
+  }
+
+  /** Exact 2-dp decimal view of a money-like double column. All testdata
+    * numeric doubles are 2-decimal values, so this cast is lossless and
+    * makes sums order-independent (hash-stable vs the oracle).
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Order-independent exact sum of a 2-dp double column, emitted as double. */
+  def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Exact average of a 2-dp double column (decimal sum, double division). */
+  def avgExact(c: Column): Column = moneySum(c) / count(c)
+}
