@@ -32,14 +32,13 @@ object TextFns {
   /** Token count (whitespace tokenization). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** A BPE-ish subword-regex token count: splits on word/number/punct
-    * boundaries the way byte-pair pre-tokenizers do (letters runs, digit
-    * runs, single punctuation marks each count as one token).
+  /** A BPE-ish subword-regex token count, the way byte-pair pre-tokenizers
+    * segment: letter runs, digit runs, and single non-space punctuation
+    * marks each count as one token. Match-counting (RE2-compatible — no
+    * lookaround), so the same regex runs in the SQL oracle.
     */
   def bpeishTokenCount(c: Column): Column =
-    size(filter(
-      split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles over a token array (distinct). Documents shorter
     * than `n` tokens yield an empty set.

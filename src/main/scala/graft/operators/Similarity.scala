@@ -72,21 +72,30 @@ object Similarity {
     * components derived from md5(plane || "|" || dim), mapped to [-0.5, 0.5).
     * Bucket = sum over planes of bit * 2^plane where bit = (dot >= 0).
     * Vectors in the same bucket are cosine-close candidates.
+    *
+    * The plane matrix is tiny (nBits x dims) and constant, so it is computed
+    * once on the driver and embedded as literals — the per-row work is pure
+    * codegen'd double math (no per-row md5), while an oracle can still
+    * re-derive the exact same components from md5 in SQL.
     */
   def signLshBucket(vecCol: Column, dims: Int, nBits: Int): Column = {
-    val planeComponent = (p: Column, i: Column) =>
-      conv(md5(concat(p.cast("string"), lit("|"), i.cast("string"))).substr(1, 8), 16, 10)
-        .cast("double") / lit(4294967296.0) - lit(0.5)
-    val bitOf = (p: Column) => {
+    val bitOf = (p: Int) => {
+      val plane = typedLit((0 until dims).map(i => planeComponent(p, i)))
       val d = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(dims - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vecCol, plane, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L)).otherwise(lit(0L))
     }
-    aggregate(
-      transform(sequence(lit(0), lit(nBits - 1)),
-        p => bitOf(p) * pow(lit(2.0), p.cast("double")).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    (0 until nBits).map(p => bitOf(p) * lit(1L << p)).reduce(_ + _)
+  }
+
+  /** Hyperplane component (p, i): first 8 hex chars of md5("p|i") as a
+    * uint32, scaled to [-0.5, 0.5). Matches the SQL-side derivation
+    * bit-for-bit (uint32 < 2^53 is exact in double).
+    */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0 - 0.5
   }
 }

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Similarity, TextDedup}
+import Q.t
+
+/** Training-data pipeline queries over the `documents` / `embeddings`
+  * testdata tables: text analysis, exact + near deduplication (MinHash-LSH,
+  * SimHash, n-gram Jaccard), embedding similarity search (brute-force,
+  * IVF, sign-LSH), and multimodal feature plumbing.
+  *
+  * These generalize the reference's text/ingest surface
+  * (`scripts/data_generation/a1_2_news_data_scrapper.py:25-44` sanitize,
+  * `macros/categorize_news.sql` keyword classifier) to corpus scale; the
+  * dedup/similarity operators are the 100 TB-pipeline extensions SURVEY
+  * §7.5 calls for. Every oracle replays the exact same arithmetic in
+  * DuckDB (md5-derived hashes, sequential double folds) so results are
+  * compared value-exact, not approximately.
+  */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Text analysis: token counts, ratios, quality score, fingerprint,
+    // keyword category (categorize_news macro parity).
+    Q("q_text_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toks = TextFns.tokens(col("text"))
+        d.select(
+          col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.bpeishTokenCount(col("text")).as("n_bpeish"),
+          coalesce(TextFns.alphaRatio(col("text")), lit(0.0)).as("alpha_ratio"),
+          coalesce(TextFns.punctRatio(col("text")), lit(0.0)).as("punct_ratio"),
+          TextFns.qualityScore(col("text")).as("quality"),
+          TextFns.fingerprint(col("text")).as("fingerprint"),
+          when(col("text").like("%spark%"), lit("ENGINE"))
+            .when(col("text").like("%stream%"), lit("STREAMING"))
+            .when(col("text").like("%customer%"), lit("BUSINESS"))
+            .otherwise(lit("OTHER")).as("category"))
+      },
+      Some("""
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+          coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS alpha_ratio,
+          coalesce(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                   / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS punct_ratio,
+          least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) * 0.4
+            + coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) * 0.4
+            + (1.0 - least(coalesce(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                                    / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) * 5.0, 1.0)) * 0.2 AS quality,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+          CASE WHEN text LIKE '%spark%' THEN 'ENGINE'
+               WHEN text LIKE '%stream%' THEN 'STREAMING'
+               WHEN text LIKE '%customer%' THEN 'BUSINESS'
+               ELSE 'OTHER' END AS category
+        FROM documents""")),
+
+    // Language ID: stopword-hit argmax across 4 languages (ties -> first
+    // language in sorted order; zero hits -> 'und').
+    Q("q_lang_id",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          col("lang"),
+          TextFns.langId(toks).as("lang_pred"),
+          coalesce(TextFns.stopwordRatio(toks, "en"), lit(0.0)).as("en_stopword_ratio"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        hits AS (
+          SELECT doc_id, lang, len(tk) AS n_tok,
+            len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS h_de,
+            len(list_filter(tk, t -> t IN ('the','a','and','of','to','in','is','it','that','for'))) AS h_en,
+            len(list_filter(tk, t -> t IN ('el','la','y','los','es','un','una','que','por','con'))) AS h_es,
+            len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','un','une','que','pour'))) AS h_fr
+          FROM h),
+        fold AS (
+          SELECT doc_id, lang, n_tok, h_en,
+            greatest(greatest(h_de, h_en), greatest(h_es, h_fr)) AS best_hits,
+            CASE WHEN h_fr > greatest(greatest(h_de, h_en), h_es) THEN 'fr'
+                 WHEN h_es > greatest(h_de, h_en) THEN 'es'
+                 WHEN h_en > h_de THEN 'en'
+                 ELSE 'de' END AS best_lang
+          FROM hits)
+        SELECT doc_id, lang,
+          CASE WHEN best_hits > 0 THEN best_lang ELSE 'und' END AS lang_pred,
+          coalesce(CAST(h_en AS DOUBLE) / CAST(nullif(n_tok, 0) AS DOUBLE), 0.0) AS en_stopword_ratio
+        FROM fold""")),
+
+    // Token frequency: explode + count + deterministic top-k.
+    Q("q_token_freq",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      Some("""
+        SELECT tk AS token, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents)
+        GROUP BY tk ORDER BY n DESC, token LIMIT 50""")),
+
+    // Exact dedup under bag-of-words normalization: md5 of the sorted
+    // distinct token set groups shuffled duplicates together.
+    Q("q_exact_dedup",
+      (s, dir) => {
+        val bagKey = md5(array_join(array_sort(array_distinct(TextFns.tokens(col("text")))), " "))
+        Dedup.exactDedupGroups(t(s, dir, "documents"), bagKey, col("doc_id"))
+      },
+      Some("""
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    // n-gram Jaccard near-dup pairs, blocked by language (bounded quadratic).
+    Q("q_ngram_dup_pairs",
+      (s, dir) => {
+        val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
+        TextDedup.blockedJaccardPairs(t(s, dir, "documents"), "doc_id", "lang", sh, 0.5)
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(tk) >= 2
+                 THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
+                 ELSE [] END AS s
+          FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(nullif(len(list_distinct(list_concat(a.s, b.s))), 0) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(nullif(len(list_distinct(list_concat(a.s, b.s))), 0) AS DOUBLE) >= 0.5""")),
+
+    // MinHash + LSH banding near-dup pairs (md5 hash family so the oracle
+    // reproduces signatures bit-for-bit), verified with exact Jaccard.
+    Q("q_minhash_dup_pairs",
+      (s, dir) => TextDedup.minhashDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5,
+        family = TextDedup.HexMd5),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) >= 2
+                 THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
+                 ELSE [] END AS s
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)),
+        sig AS (
+          SELECT doc_id, [list_min([md5(CAST(h AS VARCHAR) || '|' || x) FOR x IN s]) FOR h IN range(0, 12)] AS sg
+          FROM sh WHERE len(s) > 0),
+        banded AS (
+          SELECT doc_id, b,
+                 md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*3+1:b*3+3], '|')) AS bh
+          FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+        SELECT a_id, b_id,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = a_id
+        JOIN sh sb ON sb.doc_id = b_id
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5""")),
+
+    // SimHash fingerprints + Hamming-distance near-dup pairs within a
+    // language block.
+    Q("q_simhash_pairs",
+      (s, dir) => {
+        val fp = t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TextDedup.simhash32(TextFns.tokens(col("text"))).as("simhash"))
+        val a = fp.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("__ha"))
+        val b = fp.select(col("lang"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
+        a.join(b, Seq("lang"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("hamming", TextDedup.hammingDistance(col("__ha"), col("__hb")))
+          .filter(col("hamming") <= 2)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+        bits AS (
+          SELECT doc_id, lang, j,
+                 sum(((CAST(floor((strpos('0123456789abcdef', substr(md5(tk), 1 + (j // 4), 1)) - 1)
+                                  / 2^(3 - (j % 4))) AS INT) % 2) * 2 - 1)) AS s
+          FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+          GROUP BY 1, 2, 3),
+        fp AS (
+          SELECT doc_id, lang,
+                 CAST(sum(CASE WHEN s >= 0 THEN CAST(2^j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1, 2)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""")),
+
+    // Brute-force cosine top-k against a query vector (exact ANN baseline).
+    Q("q_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        q AS (SELECT vec AS qv FROM v WHERE vec_id = 0)
+        SELECT vec_id,
+               list_reduce(list_transform(range(1, 65), i -> vec[i] * qv[i]), (x, y) -> x + y)
+                 / nullif(sqrt(list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)), 0.0) AS cosine
+        FROM v, q
+        ORDER BY cosine DESC, vec_id LIMIT 20""")),
+
+    // Embedding-cosine near-dup pairs within a label block.
+    Q("q_embedding_near_dup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"), VectorFns.toDouble(col("embedding")).as("__v"))
+        val a = e.select(col("label"), col("vec_id").as("a_id"), col("__v").as("__va"))
+        val b = e.select(col("label"), col("vec_id").as("b_id"), col("__v").as("__vb"))
+        a.join(b, Seq("label"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("cosine", VectorFns.cosine(col("__va"), col("__vb")))
+          .filter(col("cosine") >= 0.4)
+          .select(col("label"), col("a_id"), col("b_id"), col("cosine"))
+      },
+      Some("""
+        WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)
+        SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+               list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)
+                 / nullif(sqrt(list_reduce(list_transform(a.vec, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (x, y) -> x + y)), 0.0) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)
+                / nullif(sqrt(list_reduce(list_transform(a.vec, x -> x * x), (x, y) -> x + y))
+                         * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (x, y) -> x + y)), 0.0) >= 0.4""")),
+
+    // IVF assignment: nearest of 8 centroid vectors (vec_id < 8), broadcast
+    // argmin — the partition-pruning scale path for ANN.
+    Q("q_ivf_assign",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfAssign(
+          e, e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "centroid_id"),
+          "vec_id", "embedding", "centroid_id")
+          .select(col("vec_id"), col("label"), col("cluster_id"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+        d AS (
+          SELECT v.vec_id, v.label, c.cid,
+                 list_reduce(list_transform(range(1, 65), i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])), (x, y) -> x + y) AS dist,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_reduce(list_transform(range(1, 65), i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
+          FROM v CROSS JOIN c)
+        SELECT vec_id, label, cid AS cluster_id FROM d WHERE rn = 1""")),
+
+    // Sign-LSH bucket histogram (8 md5-derived hyperplanes -> 256 buckets).
+    Q("q_lsh_buckets",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(Similarity.signLshBucket(col("embedding"), 64, 8).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors")),
+      Some("""
+        WITH planes AS (
+          SELECT p, list_transform(range(0, 64), i ->
+                   list_reduce(list_transform(range(1, 9),
+                       k -> (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                     (x, y) -> x + y) / 4294967296.0 - 0.5) AS comps
+          FROM (SELECT unnest(range(0, 8)) AS p)),
+        buckets AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65),
+                                        i -> CAST(e.embedding[i] AS DOUBLE) * pl.comps[i]),
+                                      (x, y) -> x + y) >= 0
+                          THEN CAST(2^pl.p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY 1)
+        SELECT bucket, count(*) AS n_vectors FROM buckets GROUP BY 1""")),
+
+    // Multimodal plumbing: binary media column -> batched per-partition
+    // feature extraction (decode step stubbed; schema/batching real).
+    Q("q_media_features",
+      (s, dir) => Multimodal.extractFeatures(
+        Multimodal.asBinaryMedia(t(s, dir, "documents"), "doc_id", "text")),
+      Some("""
+        SELECT doc_id, 'text' AS media_type,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               ascii(substr(text, 1, 1)) / 255.0 AS feature_0
+        FROM documents"""))
+  )
+}
