@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+import graft.operators.{Multimodal, Similarity, TextDedup}
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a sleepy dog"), // near dup of 1
+    (4L, "completely different text about spark engines here"),
+    (5L, "short")
+  ).toDF("doc_id", "text")
+
+  test("minhash signature is deterministic and permutation-sensitive only to content") {
+    val sig = TextDedup.minhashSignature(
+      TextFns.wordShingles(TextFns.tokens($"text"), 2), 12)
+    val a = docs.select(sig).collect()
+    val b = docs.select(sig).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // identical docs share the full signature
+    val sigs = docs.select($"doc_id", sig.as("s")).as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(4L))
+  }
+
+  test("too-short docs (no shingles) get a null signature, not a crash") {
+    val sig = TextDedup.minhashSignature(TextFns.wordShingles(TextFns.tokens($"text"), 2), 12)
+    val nulls = docs.filter($"doc_id" === 5L).select(sig.isNull).as[Boolean].head()
+    assert(nulls)
+  }
+
+  test("end-to-end minhashDupPairs finds exact and near dups, skips unrelated") {
+    val pairs = TextDedup.minhashDupPairs(docs, "doc_id", "text",
+      shingleWords = 2, bands = 6, rowsPerBand = 2, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical token multisets collide, hamming to others is > 0") {
+    val fp = docs.select($"doc_id", TextDedup.simhash32(TextFns.tokens($"text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) >= 0L && fp(1L) <= 0xffffffffL) // 32-bit range
+    val d = Seq((fp(1L), fp(4L))).toDF("a", "b")
+      .select(TextDedup.hammingDistance($"a", $"b")).as[Long].head()
+    assert(d > 0)
+  }
+
+  test("blockedJaccardPairs respects the block boundary") {
+    val blocked = Seq(
+      (1L, "g1", "a b c d"), (2L, "g1", "a b c d"), (3L, "g2", "a b c d")
+    ).toDF("doc_id", "blk", "text")
+    val got = TextDedup.blockedJaccardPairs(
+      blocked, "doc_id", "blk", TextFns.wordShingles(TextFns.tokens($"text"), 2), 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L))) // 3 matches content but is in another block
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+    (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+    (3L, Seq(0.0f, 0.0f, 1.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks the query vector itself first") {
+    val got = Similarity.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === Seq(0L, 1L))
+  }
+
+  test("ivfAssign maps each vector to its nearest centroid") {
+    val centroids = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val got = Similarity.ivfAssign(vecs, centroids, "vec_id", "embedding", "centroid_id")
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got(0L) === 0L && got(1L) === 1L && got(2L) === 2L)
+    assert(got(3L) === 1L) // non-centroid vector -> nearest centroid
+  }
+
+  test("signLshBucket is stable and within [0, 2^nBits)") {
+    val b1 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()
+    val b2 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()
+    assert(b1.toSeq === b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  test("extractFeatures keeps the row grain and produces the declared schema") {
+    val docs = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val got = Multimodal.extractFeatures(Multimodal.asBinaryMedia(docs, "doc_id", "text"))
+    assert(got.schema === Multimodal.featureSchema)
+    val rows = got.orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n_bytes") === 5L)
+    assert(rows(0).getAs[Double]("feature_0") === ('h'.toInt / 255.0))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("feature_0"))) // empty payload
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Hashing, TextFns, VectorFns}
+
+class HashingSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("surrogateKey matches dbt_utils.generate_surrogate_key semantics") {
+    val got = Seq(("42", "GOLD")).toDF("id", "tier")
+      .select(Hashing.surrogateKey($"id", $"tier")).as[String].head()
+    assert(got === md5hex("42-GOLD"))
+  }
+
+  test("nulls hash as empty strings") {
+    val got = Seq((Some("a"), Option.empty[String])).toDF("x", "y")
+      .select(Hashing.surrogateKey($"x", $"y")).as[String].head()
+    assert(got === md5hex("a-"))
+  }
+
+  test("property: surrogateKey == md5 of '-'-joined strings (100 generated pairs)") {
+    val gen = Gen.listOfN(100, Gen.zip(Gen.asciiPrintableStr, Gen.alphaNumStr))
+    val pairs = gen(Gen.Parameters.default, Seed(42L)).get
+    val df = pairs.toDF("a", "b")
+      .select($"a", $"b", Hashing.surrogateKey($"a", $"b").as("hk"))
+    df.as[(String, String, String)].collect().foreach { case (a, b, hk) =>
+      assert(hk === md5hex(s"$a-$b"), s"for ($a, $b)")
+    }
+  }
+
+  test("sha256Key uses '||' separator and sha-256") {
+    val got = Seq(("x", "y")).toDF("a", "b")
+      .select(Hashing.sha256Key($"a", $"b")).as[String].head()
+    val exp = MessageDigest.getInstance("SHA-256").digest("x||y".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got === exp)
+  }
+}
+
+class TextFnsSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("sanitizeText strips html, quotes, and collapses whitespace") {
+    val got = Seq("  Hello <b>World</b>\n 'quoted'  ").toDF("t")
+      .select(TextFns.sanitizeText($"t"))
+    assert(one[String](got) === "hello world quoted")
+  }
+
+  test("tokens of empty/blank text is an empty array") {
+    val got = Seq(("", "a b  c")).toDF("e", "t")
+      .select(size(TextFns.tokens($"e")), size(TextFns.tokens($"t")))
+    assert(got.as[(Int, Int)].head() === ((0, 3)))
+  }
+
+  test("bpeishTokenCount segments letter runs, digit runs, punct marks") {
+    val got = Seq("hello, world42!").toDF("t").select(TextFns.bpeishTokenCount($"t"))
+    // hello , world 42 ! -> 5
+    assert(one[Int](got) === 5)
+  }
+
+  test("wordShingles produces distinct n-grams; short docs yield empty") {
+    val got = Seq("a b c b c").toDF("t")
+      .select(TextFns.wordShingles(TextFns.tokens($"t"), 2))
+    assert(one[Seq[String]](got).toSet === Set("a b", "b c", "c b"))
+    val short = Seq("a").toDF("t").select(size(TextFns.wordShingles(TextFns.tokens($"t"), 2)))
+    assert(one[Int](short) === 0)
+  }
+
+  test("jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c"))).toDF("x", "y", "z")
+    assert(one[Double](df.select(TextFns.jaccard($"x", $"y"))) === 1.0)
+    assert(one[Double](df.select(TextFns.jaccard($"x", $"z"))) === 0.0)
+  }
+
+  test("langId picks the language with most stopword hits, 'und' for none") {
+    val df = Seq(
+      "the cat is in the house and it is big",
+      "der hund ist nicht mit der katze",
+      "zzz qqq xxx").toDF("t")
+      .select(TextFns.langId(TextFns.tokens($"t")).as("l"))
+    assert(df.as[String].collect().toSeq === Seq("en", "de", "und"))
+  }
+
+  test("qualityScore is within [0,1] and rewards longer alphabetic text") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog " * 6,
+      "!!! ??? ...").toDF("t")
+      .select(TextFns.qualityScore($"t").as("q"))
+    val Seq(good, bad) = df.as[Double].collect().toSeq
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+      .select(TextFns.fingerprint($"a") === TextFns.fingerprint($"b"))
+    assert(one[Boolean](df))
+  }
+}
+
+class VectorFnsSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  test("dot, norm, cosine, distSq on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 4.0, 4.0), Seq(0.0, 0.0, 0.0)))
+      .toDF("a", "b", "z")
+    val row = df.select(
+      VectorFns.dot($"a", $"b"),
+      VectorFns.norm($"a"),
+      VectorFns.cosine($"a", $"b"),
+      VectorFns.cosine($"a", $"z"),
+      VectorFns.distSq($"a", $"b")).collect().head
+    assert(row.getDouble(0) === 18.0)
+    assert(row.getDouble(1) === 3.0)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12) // parallel vectors
+    assert(row.isNullAt(3)) // zero-norm -> null, not NaN
+    assert(row.getDouble(4) === (1.0 + 4.0 + 4.0))
+  }
+}
