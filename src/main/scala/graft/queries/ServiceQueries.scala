@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.quality.Checks
+import graft.vault.DataVault
+import Q.t
+
+/** Queries exercising the ad-hoc QueryService (reference chatbot tools
+  * `scripts/chatbot/warehouse_tools.py:140-449`), the data-quality check
+  * framework (reference `tests/` corpus), and the Data Vault pipeline
+  * (reference `models/warehouse/`).
+  */
+object ServiceQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Tool 1/6: filtered lookup + ILIKE-style search + recency top-k
+    Q("q_svc_search_orders",
+      (s, dir) => QueryService.searchOrders(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        namePattern = "#00000012", status = Some("O"), limit = 20),
+      Some("""
+        SELECT o_orderkey, c_name, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE lower(c_name) LIKE '%#00000012%' AND o_orderstatus = 'O'
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 20""")),
+
+    // Tool 2/6: recent observations for one entity
+    Q("q_svc_recent_events",
+      (s, dir) => QueryService.recentEvents(
+        t(s, dir, "events"), userId = "42", sinceDays = 7,
+        asOf = lit("2024-01-31").cast("date"), limit = 50)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+      Some("""
+        SELECT event_id, ts, event_type, value
+        FROM events
+        WHERE user_id = '42'
+          AND CAST(ts AS DATE) >= DATE '2024-01-31' - INTERVAL 7 DAY
+        ORDER BY ts DESC, event_id LIMIT 50""")),
+
+    // Tool 3/6: KPI summary over a caller-chosen group key
+    Q("q_svc_kpi",
+      (s, dir) => QueryService.kpiSummary(t(s, dir, "orders"), "o_orderpriority", 3),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY total_amount DESC, o_orderpriority LIMIT 3""")),
+
+    // Tool 4/6: lag-based trend with percent change for one entity
+    Q("q_svc_trend",
+      (s, dir) => QueryService.valueTrend(t(s, dir, "events"), userId = "42"),
+      Some("""
+        SELECT user_id, event_id, ts, value,
+               lag(value) OVER w AS prev_value,
+               (value - lag(value) OVER w) / nullif(lag(value) OVER w, 0.0) * 100.0 AS pct_change
+        FROM events
+        WHERE user_id = '42'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // Tool 6/6: case-insensitive entity search (tool 5, the news-event
+    // join, is q_event_impact)
+    Q("q_svc_search_customers",
+      (s, dir) => QueryService.searchCustomers(t(s, dir, "customer"), "#0000013", 10),
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer WHERE lower(c_name) LIKE '%#0000013%'
+        ORDER BY c_custkey LIMIT 10""")),
+
+    // DQ summary: the dbt-test-corpus equivalent — generic + singular
+    // checks, one row per check with its violation count.
+    Q("q_dq_summary",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val orders = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val events = t(s, dir, "events")
+        Checks.summary(Seq(
+          "customer_key_not_null" -> Checks.notNull(cust, Seq("c_custkey")),
+          "customer_key_unique" -> Checks.unique(cust, Seq("c_custkey")),
+          "orders_customer_fk" -> Checks.relationships(orders, "o_custkey", cust, "c_custkey"),
+          "lineitem_grain_unique" -> Checks.unique(li, Seq("l_orderkey", "l_linenumber")),
+          "event_type_domain" -> Checks.acceptedValues(events, "event_type",
+            Seq("click", "error", "purchase", "signup", "view")),
+          "quantity_positive" -> Checks.invariant(li, col("l_quantity") > 0),
+          "discount_in_range" -> Checks.invariant(li,
+            col("l_discount") >= 0 && col("l_discount") <= 0.1),
+          "tax_in_range" -> Checks.invariant(li,
+            col("l_tax") >= 0 && col("l_tax") <= 0.08),
+          "order_date_not_future" -> Checks.invariant(orders,
+            col("o_orderdate") <= lit("2025-01-01").cast("timestamp_ntz")),
+          "props_valid_json" -> Checks.invariant(events,
+            get_json_object(col("props"), "$.k").isNotNull)))
+      },
+      Some("""
+        SELECT 'customer_key_not_null' AS check_name,
+               (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS n_violations
+        UNION ALL SELECT 'customer_key_unique',
+               (SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1))
+        UNION ALL SELECT 'orders_customer_fk',
+               (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        UNION ALL SELECT 'lineitem_grain_unique',
+               (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1))
+        UNION ALL SELECT 'event_type_domain',
+               (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+                  AND event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view'))
+        UNION ALL SELECT 'quantity_positive',
+               (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_quantity > 0, FALSE))
+        UNION ALL SELECT 'discount_in_range',
+               (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE))
+        UNION ALL SELECT 'tax_in_range',
+               (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_tax >= 0 AND l_tax <= 0.08, FALSE))
+        UNION ALL SELECT 'order_date_not_future',
+               (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderdate <= TIMESTAMP '2025-01-01', FALSE))
+        UNION ALL SELECT 'props_valid_json',
+               (SELECT count(*) FROM events WHERE NOT coalesce(json_extract_string(props, '$.k') IS NOT NULL, FALSE))""")),
+
+    // Data Vault pipeline end-to-end: hub + link + satellite -> fact
+    // rollup per customer hash key.
+    Q("q_vault_fct_orders",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val order = Seq(col("o_orderdate"), col("o_orderkey"))
+        val lnk = DataVault.link(orders,
+          Seq("customer_hk" -> Seq("o_custkey"), "order_hk" -> Seq("o_orderkey")),
+          "link_hk", "o_orderdate", lit("ORDERS"), order)
+        val sat = DataVault.satellite(orders, Seq("o_orderkey"), "order_hk",
+          Seq("o_orderstatus", "o_totalprice"), "o_orderdate")
+        lnk.select("customer_hk", "order_hk")
+          .join(sat.select(col("order_hk"), col("o_totalprice")), Seq("order_hk"))
+          .groupBy(col("customer_hk"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_amount"))
+      },
+      Some("""
+        SELECT md5(concat_ws('-', CAST(o_custkey AS VARCHAR))) AS customer_hk,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
+        FROM orders GROUP BY 1"""))
+  )
+}
