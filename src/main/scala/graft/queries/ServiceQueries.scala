@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.quality.Checks
+import graft.sources.Generator
 import graft.vault.DataVault
 import Q.t
 
@@ -140,6 +141,26 @@ object ServiceQueries {
         SELECT md5(concat_ws('-', CAST(o_custkey AS VARCHAR))) AS customer_hk,
                count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    // U5 — union distinct of two compatible projections
+    // (reference ephemeral_sat_transaction_full.sql:4-6)
+    Q("q_union_distinct",
+      (s, dir) => {
+        val a = t(s, dir, "events").select(col("user_id").cast("string").as("entity_id"))
+        val b = t(s, dir, "orders").select(col("o_custkey").cast("string").as("entity_id"))
+        a.union(b).distinct()
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS entity_id FROM events
+        UNION
+        SELECT CAST(o_custkey AS VARCHAR) FROM orders""")),
+
+    // S7 — deterministic distributed synthetic generator (faker parity;
+    // no SQL oracle: hash-derived values -> driver rows-only check, with
+    // distribution invariants enforced in GeneratorSpec)
+    Q("q_generator_transactions",
+      (s, _) => Generator.transactions(s, n = 5000, nCustomers = 500, seed = 42L),
+      None)
   )
 }
