@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{IntersectCardSorted, TextFns}
 
 /** Near-duplicate detection for document corpora: MinHash + LSH banding,
   * SimHash fingerprints, and exact n-gram Jaccard verification.
@@ -50,6 +50,14 @@ object TextDedup {
 
   /** Per-doc banded signature rows: (id, band, band_hash). `numHashes` must
     * be bands * rowsPerBand. Exploded representation feeds the bucket join.
+    *
+    * Computed as explode(shingles) -> numHashes plain hash columns ->
+    * groupBy(id).agg(min...) rather than a nested higher-order-function
+    * fold: HOF lambdas evaluate interpreted (outside whole-stage codegen),
+    * which made the signature stage dominate the whole pipeline; the
+    * explode+agg shape keeps every hash inside codegen and gets map-side
+    * partial min aggregation — at 100 TB the shuffle carries only
+    * numHashes partial minima per doc per map partition.
     */
   def bandedSignatures(
       docs: DataFrame,
@@ -58,18 +66,26 @@ object TextDedup {
       bands: Int,
       rowsPerBand: Int,
       family: HashFamily = Xx64): DataFrame = {
-    val sig = minhashSignature(shingles, bands * rowsPerBand, family)
-    val bandHash = (b: Column, slice_ : Column) => family match {
-      case HexMd5 => md5(concat_ws("|", b.cast("string"), slice_))
-      case Xx64   => xxhash64(b, slice_)
+    val numHashes = bands * rowsPerBand
+    val hashOf: Int => Column = family match {
+      case HexMd5 => i => md5(concat(lit(i.toString), lit("|"), col("__sh")))
+      case Xx64   => i => xxhash64(lit(i), col("__sh"))
     }
-    docs
-      .select(col(idCol), sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), bandHash(b, slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash"))))
-        .as("__b"))
+    val sig = docs
+      .select(col(idCol), explode(shingles).as("__sh"))
+      .groupBy(col(idCol))
+      .agg(min(hashOf(0)).as("__m0"), (1 until numHashes).map(i => min(hashOf(i)).as(s"__m$i")): _*)
+    // band b's hash covers signature positions [b*rowsPerBand, (b+1)*rowsPerBand)
+    val bandHash = (b: Int) => {
+      val members = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
+      family match {
+        case HexMd5 => md5(concat_ws("|", lit(b.toString) +: members: _*))
+        case Xx64   => xxhash64(lit(b) +: members: _*)
+      }
+    }
+    sig
+      .select(col(idCol), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("band_hash"))): _*)).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
   }
 
@@ -90,6 +106,45 @@ object TextDedup {
       .distinct()
   }
 
+  /** Sorted distinct 64-bit hashes of a shingle set — the cheap carrier for
+    * exact-Jaccard verification: 8-byte elements instead of strings, and
+    * sorted so intersection is a merge walk (`IntersectCardSorted`).
+    * Jaccard counts are exact up to 64-bit hash collisions (negligible at
+    * any realistic shingle cardinality).
+    */
+  def hashedShingles(shingles: Column): Column =
+    sort_array(array_distinct(transform(shingles, s => xxhash64(s))))
+
+  /** One row per doc: (blockCols..., id, __set sorted hashed shingles,
+    * __n its size). Computed as explode -> codegen xxhash64 -> collect_set
+    * aggregation rather than a per-row higher-order transform: the agg is
+    * an optimizer barrier, so downstream join constraints can't duplicate
+    * the (interpreted, expensive) shingle expression into scan filters —
+    * without it Catalyst's project-collapse evaluated the shingle pipeline
+    * up to 4x per row. Docs with zero shingles drop out (they can never
+    * reach a positive-threshold pair).
+    */
+  private def hashedShingleSets(
+      docs: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      shingles: Column): DataFrame = {
+    val keys = blockCols.map(col) :+ col(idCol)
+    docs
+      .select(keys :+ explode(shingles).as("__sh"): _*)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_set(xxhash64(col("__sh")))).as("__set"))
+      .withColumn("__n", size(col("__set")))
+  }
+
+  /** Exact Jaccard from an |A∩B| column and the two set sizes: union by
+    * inclusion-exclusion (sets are distinct, so |A∪B| = |A|+|B|-|A∩B|).
+    * Takes the intersection as a pre-staged column so the merge walk runs
+    * once per pair, not once per reference.
+    */
+  private def jaccardFromInter(inter: Column, na: Column, nb: Column): Column =
+    inter.cast("double") / nullif(na + nb - inter, lit(0)).cast("double")
+
   /** Verify candidate pairs with exact Jaccard over distinct shingle sets;
     * keeps pairs with jaccard >= threshold.
     */
@@ -99,11 +154,12 @@ object TextDedup {
       idCol: String,
       shingles: Column,
       threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("__id"), shingles.as("__set"))
+    val sets = hashedShingleSets(docs, idCol, Seq(), shingles)
     pairs
-      .join(sets.select(col("__id").as("a_id"), col("__set").as("__sa")), Seq("a_id"))
-      .join(sets.select(col("__id").as("b_id"), col("__set").as("__sb")), Seq("b_id"))
-      .withColumn("jaccard", TextFns.jaccard(col("__sa"), col("__sb")))
+      .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb")), Seq("b_id"))
+      .withColumn("__i", IntersectCardSorted(col("__sa"), col("__sb")))
+      .withColumn("jaccard", jaccardFromInter(col("__i"), size(col("__sa")), size(col("__sb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -126,27 +182,28 @@ object TextDedup {
 
   /** 32-bit SimHash over the token multiset, md5-bit-sampled so the oracle
     * can reproduce it. Bit j of a token's hash = bit (3 - j%4) of hex nibble
-    * j/4 of md5(token); fingerprint bit j is set iff the signed sum of
-    * (2*bit - 1) across tokens is >= 0.
+    * j/4 of md5(token) — equivalently bit (31-j) of the token's first 8 md5
+    * hex digits read as a uint32, which is how it is computed here: ONE
+    * md5+conv per token, then pure integer bit extraction (the per-bit
+    * string slicing this replaces evaluated 32 string ops per token).
+    * Fingerprint bit j is set iff the signed sum of (2*bit - 1) across
+    * tokens is >= 0.
     *
     * Pure per-row expression fold (aggregate over the token array) — no
     * shuffle, no explode; at 100 TB this is a map-only stage.
     */
   def simhash32(tokensCol: Column): Column = {
     val zeros = array_repeat(lit(0), 32)
-    val bitsOf = (tk: Column) => {
-      val h = md5(tk)
-      transform(sequence(lit(0), lit(31)), j => {
-        val nibble = conv(h.substr(lit(1) + (j / 4).cast("int"), lit(1)), 16, 10).cast("int")
-        val bit = floor(nibble / pow(lit(2.0), (lit(3) - j % 4).cast("double"))).cast("int") % 2
-        bit * 2 - 1
-      })
-    }
-    val sums = aggregate(tokensCol, zeros,
-      (acc: Column, tk: Column) => zip_with(acc, bitsOf(tk), (a, b) => a + b))
+    // bit j (j=0..31) of the sample = (v >> (31-j)) & 1; the shift is done
+    // as exact double division by 2^(31-j) (v < 2^32 keeps it exact).
+    val divisors = typedLit((0 until 32).map(j => 1L << (31 - j)))
+    val tokHashes = transform(tokensCol, tk => conv(md5(tk).substr(1, 8), 16, 10).cast("long"))
+    val sums = aggregate(tokHashes, zeros, (acc: Column, v: Column) =>
+      zip_with(acc, divisors, (a, p) =>
+        (a + (pmod((v / p).cast("long"), lit(2)) * 2 - 1)).cast("int")))
     aggregate(
-      zip_with(sums, sequence(lit(0), lit(31)), (s, j) =>
-        when(s >= 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))),
+      zip_with(sums, typedLit((0 until 32).map(j => 1L << j)), (s, p) =>
+        when(s >= 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
 
@@ -156,6 +213,14 @@ object TextDedup {
   /** Exact n-gram Jaccard over all pairs within a blocking key. The blocking
     * key bounds the quadratic term (e.g. language, length bucket, LSH band);
     * never call with a constant key at scale.
+    *
+    * Two pure optimizations on the quadratic inner loop:
+    *   - a size-ratio prefilter (jaccard >= t implies min(|A|,|B|) >=
+    *     t*max(|A|,|B|)) rejects most pairs on two ints before any array
+    *     work — no false negatives;
+    *   - shingle sets travel as sorted 64-bit hashes and intersect via the
+    *     codegen merge-walk `IntersectCardSorted` instead of per-pair hash
+    *     sets over strings.
     */
   def blockedJaccardPairs(
       docs: DataFrame,
@@ -163,13 +228,22 @@ object TextDedup {
       blockCol: String,
       shingles: Column,
       threshold: Double): DataFrame = {
-    val sets = docs.select(col(blockCol).as("__blk"), col(idCol).as("__id"), shingles.as("__set"))
-    val l = sets.select(col("__blk"), col("__id").as("a_id"), col("__set").as("__sa"))
-    val r = sets.select(col("__blk"), col("__id").as("b_id"), col("__set").as("__sb"))
-    l.join(r, Seq("__blk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard", TextFns.jaccard(col("__sa"), col("__sb")))
-      .filter(col("jaccard") >= threshold)
+    val sets = hashedShingleSets(docs, idCol, Seq(blockCol), shingles)
+    val l = sets.select(col(blockCol).as("__blk"), col(idCol).as("a_id"), col("__set").as("__sa"), col("__n").as("__na"))
+    val r = sets.select(col(blockCol).as("__blk2"), col(idCol).as("b_id"), col("__set").as("__sb"), col("__n").as("__nb"))
+    // The ENTIRE pair predicate (ordering, size-ratio prefilter, exact
+    // jaccard >= t) lives in the join condition: the hash join evaluates it
+    // on the probe, so the ~O(block²) non-matching pairs are never
+    // materialized as output rows — with multi-KB set arrays per row that
+    // materialization, not the merge walks, dominated the runtime.
+    val cond = col("__blk") === col("__blk2") &&
+      col("a_id") < col("b_id") &&
+      col("__na") >= col("__nb") * threshold && col("__nb") >= col("__na") * threshold &&
+      jaccardFromInter(IntersectCardSorted(col("__sa"), col("__sb")),
+        col("__na"), col("__nb")) >= threshold
+    l.join(r, cond)
+      .withColumn("jaccard", jaccardFromInter(
+        IntersectCardSorted(col("__sa"), col("__sb")), col("__na"), col("__nb")))
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 }

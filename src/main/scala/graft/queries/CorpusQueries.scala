@@ -227,13 +227,17 @@ object CorpusQueries {
     // Embedding-cosine near-dup pairs within a label block.
     Q("q_embedding_near_dup",
       (s, dir) => {
+        // norms precomputed per vector (not per pair) — same doubles, half
+        // the per-pair fold work; dot is the only per-pair array walk
         val e = t(s, dir, "embeddings")
           .select(col("label"), col("vec_id"), VectorFns.toDouble(col("embedding")).as("__v"))
-        val a = e.select(col("label"), col("vec_id").as("a_id"), col("__v").as("__va"))
-        val b = e.select(col("label"), col("vec_id").as("b_id"), col("__v").as("__vb"))
+          .withColumn("__norm", VectorFns.norm(col("__v")))
+        val a = e.select(col("label"), col("vec_id").as("a_id"), col("__v").as("__va"), col("__norm").as("__na"))
+        val b = e.select(col("label"), col("vec_id").as("b_id"), col("__v").as("__vb"), col("__norm").as("__nb"))
         a.join(b, Seq("label"))
           .filter(col("a_id") < col("b_id"))
-          .withColumn("cosine", VectorFns.cosine(col("__va"), col("__vb")))
+          .withColumn("cosine",
+            VectorFns.dot(col("__va"), col("__vb")) / nullif(col("__na") * col("__nb"), lit(0.0)))
           .filter(col("cosine") >= 0.4)
           .select(col("label"), col("a_id"), col("b_id"), col("cosine"))
       },
