@@ -147,8 +147,10 @@ object ServiceQueries {
     // (reference ephemeral_sat_transaction_full.sql:4-6)
     Q("q_union_distinct",
       (s, dir) => {
-        val a = t(s, dir, "events").select(col("user_id").cast("string").as("entity_id"))
-        val b = t(s, dir, "orders").select(col("o_custkey").cast("string").as("entity_id"))
+        // per-side distinct first: map-side partial dedup shrinks the union
+        // shuffle to distinct keys (same result as distinct-after-union)
+        val a = t(s, dir, "events").select(col("user_id").cast("string").as("entity_id")).distinct()
+        val b = t(s, dir, "orders").select(col("o_custkey").cast("string").as("entity_id")).distinct()
         a.union(b).distinct()
       },
       Some("""
