@@ -393,6 +393,9 @@ object CoreQueries {
           .otherwise(lit("POS")).as("bal_sign"),
         abs(dec2(col("c_acctbal"))).cast("double").as("abs_bal"),
         col("c_name").like("%1%").as("name_has_1"),
+        col("c_name").ilike("CUSTOMER%").as("name_ci_prefix"),
+        col("c_name").rlike("[0-9]{3}$").as("name_3digit_end"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lower_vowels"),
         nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null")),
       Some("""
         SELECT c_custkey,
@@ -406,6 +409,9 @@ object CoreQueries {
                CASE WHEN c_acctbal < 0 THEN 'NEG' WHEN c_acctbal = 0 THEN 'ZERO' ELSE 'POS' END AS bal_sign,
                CAST(abs(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS abs_bal,
                c_name LIKE '%1%' AS name_has_1,
+               c_name ILIKE 'CUSTOMER%' AS name_ci_prefix,
+               regexp_matches(c_name, '[0-9]{3}$') AS name_3digit_end,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
                nullif(c_mktsegment, 'BUILDING') AS seg_or_null
         FROM customer""")),
 
