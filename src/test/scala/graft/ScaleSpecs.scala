@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Bucketing
+import graft.operators.SkewJoin
+
+class BucketingSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  test("bucketed-to-bucketed join plans with no shuffle exchange") {
+    TestSpark.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1 to 1000).map(i => (i % 50, s"f$i")).toDF("k", "payload")
+      val dims = (0 until 50).map(i => (i, s"dim$i")).toDF("k", "name")
+      Bucketing.writeBucketed(facts, "b_facts", "k", 8)
+      Bucketing.writeBucketed(dims, "b_dims", "k", 8)
+
+      val joined = Bucketing.bucketJoin(TestSpark.spark, "b_facts", "b_dims", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucket join, got:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      TestSpark.spark.sql("DROP TABLE IF EXISTS b_facts")
+      TestSpark.spark.sql("DROP TABLE IF EXISTS b_dims")
+      TestSpark.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
+
+class SkewJoinSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  // one hot key (90% of rows) plus a uniform tail
+  private def skewed = (1 to 2000).map(i => (if (i <= 1800) 1 else i % 20, i.toLong))
+    .toDF("k", "v")
+  private def dim = (0 until 20).map(i => (i, s"d$i")).toDF("k", "name")
+
+  test("saltedJoin matches the plain join result") {
+    val expected = skewed.join(dim, Seq("k")).agg(count(lit(1)), sum($"v")).first()
+    val got = SkewJoin.saltedJoin(skewed, dim, Seq("k"), factor = 8)
+      .agg(count(lit(1)), sum($"v")).first()
+    assert(got === expected)
+  }
+
+  test("saltedSumCount matches a direct aggregation") {
+    val direct = skewed.groupBy("k").agg(sum($"v").as("total"), count(lit(1)).as("n"))
+    val salted = SkewJoin.saltedSumCount(skewed, Seq("k"), $"v", factor = 8)
+    assert(salted.except(direct).count() === 0 && direct.except(salted).count() === 0)
+  }
+}
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("intersect_card_sorted is callable from SQL once registered") {
+    graft.core.GraftExtensions.register(TestSpark.spark)
+    val n = TestSpark.spark
+      .sql("SELECT intersect_card_sorted(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS n")
+      .collect().head.getInt(0)
+    assert(n === 2)
+  }
+}
