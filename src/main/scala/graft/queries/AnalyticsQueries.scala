@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, Dedup, RangeJoin}
+import Q.{dec2, t}
+
+/** Time-series / analytical operators beyond the reference's surface:
+  * as-of join, bucketized range join, window frames (moving aggregates),
+  * rollup subtotals, exact percentiles. These are the operators a
+  * market-data or training-data pipeline reaches for next; each keeps a
+  * value-exact DuckDB oracle (DuckDB has native ASOF JOIN, making it a
+  * true independent oracle for ours).
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // As-of join: each click sees the prevailing (latest at-or-before)
+    // purchase value of the same user.
+    Q("q_asof_join",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        // dedup right to one row per (user, ts) so tie resolution is
+        // well-defined in both engines
+        val purchases = Dedup.latestRows(
+          events.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          Seq("user_id", "ts"), Seq(col("event_id").desc))
+        AsofJoin.asofBackward(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("value"), tieBreak = col("event_id"))
+          .select(col("user_id"), col("event_id"), col("ts"), col("asof_value"))
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        SELECT c.user_id, c.event_id, c.ts, p.value AS asof_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.ts <= c.ts""")),
+
+    // Bucketized range join: clicks landing inside [error_ts, error_ts+1h)
+    // windows of the same user, counted per window.
+    Q("q_range_join",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        val points = events.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("__pt"))
+        val intervals = events.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("win_start"),
+            unix_micros(col("ts").cast("timestamp")).as("__start"),
+            (unix_micros(col("ts").cast("timestamp")) + 3600000000L).as("__end"))
+        RangeJoin.pointInInterval(points, intervals, Seq("user_id"),
+          "__pt", "__start", "__end", bucketWidth = 3600000000L)
+          .groupBy(col("user_id"), col("win_start"))
+          .agg(count(lit(1)).as("n_clicks"))
+      },
+      Some("""
+        SELECT e.user_id, e.ts AS win_start, count(*) AS n_clicks
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR
+        GROUP BY e.user_id, e.ts""")),
+
+    // Window frame: trailing-7-row moving average per user (exact decimal
+    // sum over the frame, double division).
+    Q("q_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        t(s, dir, "events").select(
+          col("user_id"), col("event_id"), col("ts"), col("value"),
+          (sum(dec2(col("value"))).over(w).cast("double") / count(col("value")).over(w))
+            .as("ma7"))
+      },
+      Some("""
+        SELECT user_id, event_id, ts, value,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                 / count(value) OVER w AS ma7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""")),
+
+    // Rollup subtotals over the region/nation hierarchy.
+    Q("q_rollup_customers",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      },
+      Some("""
+        SELECT r_name, n_name, count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""")),
+
+    // Exact percentiles (continuous interpolation) per group.
+    Q("q_percentiles",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price")),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50_qty,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag"""))
+  )
+}
