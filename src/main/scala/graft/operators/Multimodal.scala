@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,6 +48,38 @@ object Multimodal {
     */
   private def decodeStub(content: Array[Byte]): Option[Double] =
     if (content.isEmpty) None else Some((content(0) & 0xff) / 255.0)
+
+  /** Deterministic stub for media frame-count probing (stands in for
+    * reading a container header): derived from payload length.
+    */
+  private def frameCount(nBytes: Column): Column = pmod(nBytes, lit(7)) + 1
+
+  /** Frame sampling for video-like payloads: emit one row per sampled frame
+    * (every `stride`-th of the payload's frames), with a per-frame content
+    * key. The real decoder would emit frame bytes; the stub emits a
+    * deterministic frame checksum. One-to-many generator shape: a pure
+    * codegen explode, no shuffle — at 100 TB this is the stage that
+    * multiplies rows, so it must never force a pre-shuffle.
+    */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("__nf", frameCount(length(col("content"))))
+      .select(
+        col("doc_id"), col("media_type"),
+        explode(sequence(lit(0), col("__nf") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame_checksum",
+        md5(concat(col("doc_id").cast("string"), lit("|"), col("frame_idx").cast("string"))))
+
+  /** Resize declaration for image-like payloads: records target geometry
+    * alongside the payload; the batched decode stage (`extractFeatures`)
+    * is where a real implementation would apply it. Plumbing contract:
+    * geometry travels as columns, not closure state, so it survives
+    * serialization and per-partition batching.
+    */
+  def withResizeSpec(media: DataFrame, width: Int, height: Int): DataFrame =
+    media
+      .withColumn("target_width", lit(width))
+      .withColumn("target_height", lit(height))
 
   /** Batched per-partition feature extraction over (doc_id, media_type,
     * content) rows. The md5 checksum is computed Spark-side (codegen) before

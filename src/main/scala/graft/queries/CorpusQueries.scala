@@ -306,6 +306,18 @@ object CorpusQueries {
                CAST(strlen(text) AS BIGINT) AS n_bytes,
                md5(text) AS checksum,
                ascii(substr(text, 1, 1)) / 255.0 AS feature_0
+        FROM documents""")),
+
+    // Multimodal frame sampling: every 2nd frame of each payload's
+    // (deterministically stubbed) frame sequence — one-to-many explode.
+    Q("q_frame_sample",
+      (s, dir) => Multimodal.frameSample(
+        Multimodal.asBinaryMedia(t(s, dir, "documents"), "doc_id", "text"), stride = 2),
+      Some("""
+        SELECT doc_id, 'text' AS media_type,
+               unnest(range(0, strlen(text) % 7 + 1, 2)) AS frame_idx,
+               md5(CAST(doc_id AS VARCHAR) || '|' ||
+                   CAST(unnest(range(0, strlen(text) % 7 + 1, 2)) AS VARCHAR)) AS frame_checksum
         FROM documents"""))
   )
 }
