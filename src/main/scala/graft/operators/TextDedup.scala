@@ -210,6 +210,32 @@ object TextDedup {
   /** Hamming distance between two simhash fingerprints (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** DataFrame-level simhash: same bit math as `simhash32` but computed as
+    * explode(tokens) -> one md5+conv per token row -> 32 signed-bit sums as
+    * aggregation columns -> fingerprint reassembly. Everything stays inside
+    * whole-stage codegen (the per-row array fold of `simhash32` evaluates
+    * interpreted) and the aggregation gets map-side partial sums + exchange
+    * reuse when the output feeds both sides of a self-join.
+    * Docs with zero tokens are dropped (simhash32 would yield the
+    * degenerate all-bits-set fingerprint for them).
+    */
+  def simhashFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      carryCols: Seq[String],
+      tokensCol: Column): DataFrame = {
+    val keys = (carryCols :+ idCol).map(col)
+    val bitSum = (j: Int) =>
+      sum(pmod((col("__v") / lit(1L << (31 - j))).cast("long"), lit(2)) * 2 - 1).as(s"__s$j")
+    docs
+      .select(keys :+ explode(tokensCol).as("__tk"): _*)
+      .withColumn("__v", conv(md5(col("__tk")).substr(1, 8), 16, 10).cast("long"))
+      .groupBy(keys: _*)
+      .agg(bitSum(0), (1 until 32).map(bitSum): _*)
+      .select(keys :+ (0 until 32).map(j =>
+        when(col(s"__s$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"): _*)
+  }
+
   /** Exact n-gram Jaccard over all pairs within a blocking key. The blocking
     * key bounds the quadratic term (e.g. language, length bucket, LSH band);
     * never call with a constant key at scale.

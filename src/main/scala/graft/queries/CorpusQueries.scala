@@ -178,15 +178,15 @@ object CorpusQueries {
     // language block.
     Q("q_simhash_pairs",
       (s, dir) => {
-        val fp = t(s, dir, "documents").select(
-          col("doc_id"), col("lang"),
-          TextDedup.simhash32(TextFns.tokens(col("text"))).as("simhash"))
+        val fp = TextDedup.simhashFingerprints(
+          t(s, dir, "documents"), "doc_id", Seq("lang"), TextFns.tokens(col("text")))
         val a = fp.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("__ha"))
-        val b = fp.select(col("lang"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
-        a.join(b, Seq("lang"))
-          .filter(col("a_id") < col("b_id"))
+        val b = fp.select(col("lang").as("lang2"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
+        // whole pair predicate inside the join condition: non-matching
+        // pairs of the O(block²) loop never materialize as output rows
+        a.join(b, col("lang") === col("lang2") && col("a_id") < col("b_id") &&
+            TextDedup.hammingDistance(col("__ha"), col("__hb")) <= 2)
           .withColumn("hamming", TextDedup.hammingDistance(col("__ha"), col("__hb")))
-          .filter(col("hamming") <= 2)
           .select(col("a_id"), col("b_id"), col("hamming"))
       },
       Some("""

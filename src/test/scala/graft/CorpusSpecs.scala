@@ -53,6 +53,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(d > 0)
   }
 
+  test("simhashFingerprints (explode+agg) equals simhash32 (per-row fold)") {
+    val viaAgg = TextDedup.simhashFingerprints(docs, "doc_id", Seq(), TextFns.tokens($"text"))
+      .as[(Long, Long)].collect().toMap
+    val viaFold = docs.select($"doc_id", TextDedup.simhash32(TextFns.tokens($"text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg === viaFold.filter { case (id, _) => viaAgg.contains(id) })
+    assert(viaAgg.size === docs.count()) // all docs here have tokens
+  }
+
   test("blockedJaccardPairs respects the block boundary") {
     val blocked = Seq(
       (1L, "g1", "a b c d"), (2L, "g1", "a b c d"), (3L, "g2", "a b c d")
