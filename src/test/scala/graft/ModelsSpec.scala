@@ -101,6 +101,14 @@ class ModelsSpec extends AnyFunSuite {
     assert(cur.filter(!$"is_current").count() === 0)
   }
 
+  test("all 20 ported reference DQ tests return zero violations") {
+    val results = graft.quality.Checks.summary(graft.quality.ReferenceTests.all(raw))
+      .as[(String, Long)].collect()
+    assert(results.length >= 20)
+    val failing = results.filter(_._2 > 0)
+    assert(failing.isEmpty, s"failing: ${failing.mkString(", ")}")
+  }
+
   test("semantic overview reconciles with the raw transaction totals") {
     val overview = Models.semanticCustomerOverview(raw)
     val expectedTotal = raw.transactionPersonal.unionByName(raw.transactionCorporate)
