@@ -123,6 +123,58 @@ object AnalyticsQueries {
         SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS p50_qty,
                quantile_cont(l_extendedprice, 0.9) AS p90_price
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // INTERSECT / EXCEPT set semantics (beyond the reference's union-only
+    // surface).
+    Q("q_intersect_except",
+      (s, dir) => {
+        val eventUsers = t(s, dir, "events")
+          .select(col("user_id").cast("bigint").as("id")).distinct()
+        val buyers = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("id")).distinct()
+        val both = eventUsers.intersect(buyers).withColumn("membership", lit("BOTH"))
+        val onlyEvents = eventUsers.except(buyers).withColumn("membership", lit("EVENTS_ONLY"))
+        both.unionByName(onlyEvents)
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events),
+        b AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE o_totalprice > 200000)
+        SELECT id, 'BOTH' AS membership FROM (SELECT id FROM e INTERSECT SELECT id FROM b)
+        UNION ALL
+        SELECT id, 'EVENTS_ONLY' FROM (SELECT id FROM e EXCEPT SELECT id FROM b)""")),
+
+    // The engine's SQL-string surface: temp views + spark.sql (the
+    // reference's whole query layer is SQL text — parity demonstration).
+    Q("q_sql_surface",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT c_mktsegment,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          WHERE o_orderstatus <> 'F'
+          GROUP BY c_mktsegment""")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY c_mktsegment""")),
+
+    // Sketch aggregates (HLL++ distinct count, approximate quantiles) —
+    // engine-specific estimators, so driver does the rows-only check; the
+    // accuracy contract lives in AnalyticsSpec.
+    Q("q_approx_stats",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("approx_price_q")),
+      None)
   )
 }
