@@ -115,25 +115,32 @@ object TextDedup {
   def hashedShingles(shingles: Column): Column =
     sort_array(array_distinct(transform(shingles, s => xxhash64(s))))
 
-  /** One row per doc: (blockCols..., id, __set sorted hashed shingles,
-    * __n its size). Computed as explode -> codegen xxhash64 -> collect_set
-    * aggregation rather than a per-row higher-order transform: the agg is
-    * an optimizer barrier, so downstream join constraints can't duplicate
-    * the (interpreted, expensive) shingle expression into scan filters —
-    * without it Catalyst's project-collapse evaluated the shingle pipeline
-    * up to 4x per row. Docs with zero shingles drop out (they can never
-    * reach a positive-threshold pair).
+  /** Hashed word-n-gram sets computed WITHOUT building shingle strings:
+    * posexplode the tokens, window-lead the next n-1 tokens, hash the token
+    * tuple directly. Tokens contain no separator characters (whitespace
+    * tokenization), so tuple identity == joined-string identity — the set
+    * cardinalities match the string-shingle formulation exactly (modulo
+    * 64-bit collisions). Every step is codegen (the per-row shingle
+    * transform this replaces is an interpreted higher-order function), and
+    * the window + groupBy share the doc-id clustering (one exchange).
     */
-  private def hashedShingleSets(
+  private def hashedNgramSets(
       docs: DataFrame,
       idCol: String,
       blockCols: Seq[String],
-      shingles: Column): DataFrame = {
+      tokensCol: Column,
+      n: Int): DataFrame = {
     val keys = blockCols.map(col) :+ col(idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val leads = (1 until n).map(k => lead(col("__tk"), k).over(w).as(s"__tk$k"))
+    val gramCols = col("__tk") +: (1 until n).map(k => col(s"__tk$k"))
     docs
-      .select(keys :+ explode(shingles).as("__sh"): _*)
+      .select(keys :+ posexplode(tokensCol).as(Seq("__pos", "__tk")): _*)
+      .select(keys ++ Seq(col("__pos"), col("__tk")) ++ leads: _*)
+      .filter(gramCols.map(_.isNotNull).reduce(_ && _))
       .groupBy(keys: _*)
-      .agg(sort_array(collect_set(xxhash64(col("__sh")))).as("__set"))
+      .agg(sort_array(collect_set(xxhash64(gramCols: _*))).as("__set"))
       .withColumn("__n", size(col("__set")))
   }
 
@@ -152,9 +159,10 @@ object TextDedup {
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
-      shingles: Column,
+      tokensCol: Column,
+      shingleWords: Int,
       threshold: Double): DataFrame = {
-    val sets = hashedShingleSets(docs, idCol, Seq(), shingles)
+    val sets = hashedNgramSets(docs, idCol, Seq(), tokensCol, shingleWords)
     pairs
       .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb")), Seq("b_id"))
@@ -174,10 +182,11 @@ object TextDedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.7,
       family: HashFamily = Xx64): DataFrame = {
-    val sh = TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleWords)
+    val toks = TextFns.tokens(col(textCol))
+    val sh = TextFns.wordShingles(toks, shingleWords)
     val banded = bandedSignatures(docs, idCol, sh, bands, rowsPerBand, family)
     val cands = candidatePairs(banded, idCol)
-    verifiedPairs(cands, docs, idCol, sh, threshold)
+    verifiedPairs(cands, docs, idCol, toks, shingleWords, threshold)
   }
 
   /** 32-bit SimHash over the token multiset, md5-bit-sampled so the oracle
@@ -252,9 +261,10 @@ object TextDedup {
       docs: DataFrame,
       idCol: String,
       blockCol: String,
-      shingles: Column,
+      tokensCol: Column,
+      shingleWords: Int,
       threshold: Double): DataFrame = {
-    val sets = hashedShingleSets(docs, idCol, Seq(blockCol), shingles)
+    val sets = hashedNgramSets(docs, idCol, Seq(blockCol), tokensCol, shingleWords)
     val l = sets.select(col(blockCol).as("__blk"), col(idCol).as("a_id"), col("__set").as("__sa"), col("__n").as("__na"))
     val r = sets.select(col(blockCol).as("__blk2"), col(idCol).as("b_id"), col("__set").as("__sb"), col("__n").as("__nb"))
     // The ENTIRE pair predicate (ordering, size-ratio prefilter, exact

@@ -123,10 +123,8 @@ object CorpusQueries {
 
     // n-gram Jaccard near-dup pairs, blocked by language (bounded quadratic).
     Q("q_ngram_dup_pairs",
-      (s, dir) => {
-        val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
-        TextDedup.blockedJaccardPairs(t(s, dir, "documents"), "doc_id", "lang", sh, 0.5)
-      },
+      (s, dir) => TextDedup.blockedJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "lang", TextFns.tokens(col("text")), 2, 0.5),
       Some("""
         WITH sh AS (
           SELECT doc_id, lang,

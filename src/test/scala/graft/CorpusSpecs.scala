@@ -67,7 +67,7 @@ class TextDedupSpec extends AnyFunSuite {
       (1L, "g1", "a b c d"), (2L, "g1", "a b c d"), (3L, "g2", "a b c d")
     ).toDF("doc_id", "blk", "text")
     val got = TextDedup.blockedJaccardPairs(
-      blocked, "doc_id", "blk", TextFns.wordShingles(TextFns.tokens($"text"), 2), 0.9)
+      blocked, "doc_id", "blk", TextFns.tokens($"text"), 2, 0.9)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L))) // 3 matches content but is in another block
   }

@@ -16,7 +16,8 @@ class LshRecallSpec extends AnyFunSuite {
   private def sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
 
   private lazy val truth = TextDedup.blockedJaccardPairs(
-    docs.withColumn("__all", lit(1)), "doc_id", "__all", sh, threshold = 0.5)
+    docs.withColumn("__all", lit(1)), "doc_id", "__all",
+    TextFns.tokens(col("text")), 2, threshold = 0.5)
     .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect()
 
   private lazy val lsh = TextDedup.minhashDupPairs(
