@@ -112,6 +112,23 @@ object AnalyticsQueries {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)""")),
 
+    // CUBE over two dimensions with grouping indicators.
+    Q("q_cube_orders",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // Exact percentiles (continuous interpolation) per group.
     Q("q_percentiles",
       (s, dir) => t(s, dir, "lineitem")
