@@ -67,12 +67,27 @@ object TextDedup {
       rowsPerBand: Int,
       family: HashFamily = Xx64): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // HexMd5: the classic Broder construction — ONE base hash per shingle
+    // (first 7 md5 hex digits as a 28-bit int, SQL-reproducible), permuted
+    // by numHashes linear-congruential functions h_i(b) = (A_i*b + B_i)
+    // mod (2^31-1). Exact long arithmetic (A_i*b < 2^59), so an oracle
+    // replays it bit-for-bit; 12x fewer md5 calls than hashing per (i, s).
+    val M = 2147483647L
     val hashOf: Int => Column = family match {
-      case HexMd5 => i => md5(concat(lit(i.toString), lit("|"), col("__sh")))
-      case Xx64   => i => xxhash64(lit(i), col("__sh"))
+      case HexMd5 => i => {
+        val a = (1103515245L * (i + 1)) % M
+        val b = 12345L * (i + 1)
+        pmod(lit(a) * col("__base") + lit(b), lit(M))
+      }
+      case Xx64 => i => xxhash64(lit(i), col("__sh"))
     }
-    val sig = docs
-      .select(col(idCol), explode(shingles).as("__sh"))
+    val exploded = docs.select(col(idCol), explode(shingles).as("__sh"))
+    val based = family match {
+      case HexMd5 => exploded.withColumn("__base",
+        conv(substring(md5(col("__sh")), 1, 7), 16, 10).cast("long"))
+      case Xx64 => exploded
+    }
+    val sig = based
       .groupBy(col(idCol))
       .agg(min(hashOf(0)).as("__m0"), (1 until numHashes).map(i => min(hashOf(i)).as(s"__m$i")): _*)
     // band b's hash covers signature positions [b*rowsPerBand, (b+1)*rowsPerBand)

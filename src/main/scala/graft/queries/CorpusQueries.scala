@@ -153,9 +153,17 @@ object CorpusQueries {
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
                  ELSE [] END AS s
           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)),
-        sig AS (
-          SELECT doc_id, [list_min([md5(CAST(h AS VARCHAR) || '|' || x) FOR x IN s]) FOR h IN range(0, 12)] AS sg
+        bases AS (
+          SELECT doc_id, list_transform(s, x ->
+            CAST(list_reduce(list_transform(range(1, 8),
+                k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1) * 16^(7-k)),
+              (a, b) -> a + b) AS BIGINT)) AS bs
           FROM sh WHERE len(s) > 0),
+        sig AS (
+          SELECT doc_id, [list_min(list_transform(bs,
+                   b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
+                 FOR h IN range(0, 12)] AS sg
+          FROM bases),
         banded AS (
           SELECT doc_id, b,
                  md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*3+1:b*3+3], '|')) AS bh
