@@ -53,6 +53,53 @@ object Similarity {
       .select(embeddings.columns.map(col) :+ col("__cid").as("cluster_id"): _*)
   }
 
+  /** Lloyd's k-means over an embedding column — trains the IVF centroid
+    * table. Deterministic: initialized from the k lowest-id vectors, and
+    * every iteration is a fixed dataflow (assign via broadcast argmin, new
+    * centroid = per-dimension mean computed by posexplode + avg, so the
+    * shuffle carries (cluster, dim) partial sums — k*dims tiny rows).
+    * Empty clusters keep their previous centroid. The per-iteration job is
+    * one pass over the data; centroids stay a k-row DataFrame (broadcast
+    * side) throughout.
+    */
+  def kmeansFit(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    var centroids = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(row_number().over(Window.orderBy(col(idCol))).cast("long").as("centroid_id"),
+        toDouble(col(vecCol)).as(vecCol))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, "centroid_id")
+      val means = assigned
+        .select(col("cluster_id"), posexplode(toDouble(col(vecCol))).as(Seq("__dim", "__x")))
+        .groupBy(col("cluster_id"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          s => s.getField("__m")).as("__new"))
+      centroids = centroids
+        .join(means, col("centroid_id") === col("cluster_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__new"), col(vecCol)).as(vecCol))
+    }
+    centroids
+  }
+
+  /** Sum of squared distances to the assigned centroid — the k-means
+    * objective, for convergence checks.
+    */
+  def inertia(embeddings: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): Double = {
+    val c = broadcast(centroids.select(col("centroid_id").as("__cid"), toDouble(col(vecCol)).as("__cvec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("__cid"))
+    embeddings
+      .crossJoin(c)
+      .withColumn("__d", distSq(toDouble(col(vecCol)), col("__cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .agg(sum(col("__d"))).head().getDouble(0)
+  }
+
   /** Top-k within the clusters selected by `clusterPred` (e.g. the query
     * vector's own cluster, or several for multi-probe).
     */

@@ -279,6 +279,20 @@ object CorpusQueries {
           FROM v CROSS JOIN c)
         SELECT vec_id, label, cid AS cluster_id FROM d WHERE rn = 1""")),
 
+    // Trained IVF: Lloyd's k-means centroids (3 iterations) then cluster
+    // assignment histogram. No SQL oracle — double means are
+    // order-dependent — so driver does the rows-only check; convergence
+    // and separation contracts live in SimilaritySpec.
+    Q("q_ivf_trained",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 3)
+        Similarity.ivfAssign(e, centroids, "vec_id", "embedding", "centroid_id")
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_vectors"))
+      },
+      None),
+
     // Sign-LSH bucket histogram (8 md5-derived hyperplanes -> 256 buckets).
     Q("q_lsh_buckets",
       (s, dir) => t(s, dir, "embeddings")

@@ -99,6 +99,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3L) === 1L) // non-centroid vector -> nearest centroid
   }
 
+  test("kmeansFit recovers separated clusters and reduces inertia") {
+    // three tight clusters around the axes
+    val data = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f)
+      base(axis) = 1.0f
+      base((axis + 1) % 3) = (i / 3) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val init = data.orderBy("vec_id").limit(3)
+      .select(org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy($"vec_id"))
+        .cast("long").as("centroid_id"), $"embedding")
+    val before = Similarity.inertia(data, init, "vec_id", "embedding")
+    val trained = Similarity.kmeansFit(data, "vec_id", "embedding", k = 3, iters = 5)
+    val after = Similarity.inertia(data, trained, "vec_id", "embedding")
+    assert(after <= before)
+    // assignments separate the three axes perfectly
+    val assigned = Similarity.ivfAssign(data, trained, "vec_id", "embedding", "centroid_id")
+      .select($"vec_id", $"cluster_id").as[(Long, Long)].collect()
+    val byAxis = assigned.groupBy(_._1 % 3).values.map(_.map(_._2).toSet)
+    assert(byAxis.forall(_.size === 1)) // each axis maps to one cluster
+    assert(byAxis.flatten.toSet.size === 3) // and the clusters are distinct
+  }
+
   test("signLshBucket is stable and within [0, 2^nBits)") {
     val b1 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()
     val b2 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()

@@ -8,6 +8,41 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingSessionize
 import graft.streaming.StreamingSessionize.{Event, Session}
 
+class WindowedCountsStreamSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("watermarked tumbling windows drop too-late events in a real stream") {
+    implicit val sqlCtx = TestSpark.spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = graft.streaming.IncrementalIngest.windowedCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "ts", "1 hour", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window (+30 min delay)
+      mem.addData((ts("2024-01-01 14:00:00"), "click", 5.0))
+      q.processAllAvailable()
+      // this event is 3.5h behind the watermark -> dropped
+      mem.addData((ts("2024-01-01 10:10:00"), "click", 100.0))
+      q.processAllAvailable()
+      // close the 14:00 window too
+      mem.addData((ts("2024-01-01 18:00:00"), "click", 1.0))
+      q.processAllAvailable()
+
+      val out = TestSpark.spark.table("win_out")
+        .select($"window_start", $"n", $"total_value")
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      // the 10:00 window closed with ONLY the on-time event
+      assert(out.contains((ts("2024-01-01 10:00:00"), 1L, 1.0)))
+      assert(!out.exists(_._3 == 101.0))
+    } finally q.stop()
+  }
+}
+
 class StreamingSessionizeSpec extends AnyFunSuite {
   import TestSpark.spark.implicits._
 
