@@ -14,11 +14,12 @@ import graft.vault.Models
 object ReferenceTests {
 
   /** All ported singular tests over a model DAG input. */
-  def all(raw: Models.Raw): Seq[(String, DataFrame)] = {
+  def all(models: Models): Seq[(String, DataFrame)] = {
+    val raw = models.raw
     val tx = raw.transactionPersonal.unionByName(raw.transactionCorporate)
-    val history = Models.dimCustomerHistory(raw)
-    val impact = Models.fctAssetNewsImpact(raw)
-    val comparison = Models.fctAssetPriceComparison(raw)
+    val history = models.dimCustomerHistory
+    val impact = models.fctAssetNewsImpact
+    val comparison = models.fctAssetPriceComparison
     val stock = raw.stockPrices
 
     Seq(
@@ -52,7 +53,7 @@ object ReferenceTests {
 
       // test_volume_positive.sql
       "volume_positive" -> Checks.invariant(
-        Models.fctAssetPrices(raw), col("volume") >= 0),
+        models.fctAssetPrices, col("volume") >= 0),
 
       // test_stock_price_range_valid.sql: low <= open,close <= high
       "stock_price_range_valid" -> Checks.invariant(stock,
@@ -66,7 +67,7 @@ object ReferenceTests {
 
       // test_price_data_freshness.sql: last observation <= 7 days before
       // the corpus as-of date (fixed here for determinism)
-      "price_data_freshness" -> Models.satAssetPriceCrypto(raw)
+      "price_data_freshness" -> models.satAssetPriceCrypto
         .groupBy(col("asset_hk"))
         .agg(max(col("observed_at")).as("last_obs"))
         .filter(datediff(lit("2024-01-22").cast("date"), to_date(col("last_obs"))) > 7),
@@ -102,12 +103,12 @@ object ReferenceTests {
         col("year_founded") >= 1800 && col("year_founded") <= 2026),
 
       // schema unique tests: hub/link grain
-      "hub_transaction_unique" -> Checks.unique(Models.hubTransaction(raw), Seq("transaction_hk")),
+      "hub_transaction_unique" -> Checks.unique(models.hubTransaction, Seq("transaction_hk")),
       "link_customer_transaction_unique" ->
-        Checks.unique(Models.linkCustomerTransaction(raw), Seq("link_customer_transaction_hk")),
+        Checks.unique(models.linkCustomerTransaction, Seq("link_customer_transaction_hk")),
 
       // relationships: every fact row resolves to a current customer
       "fct_customer_relationship" -> Checks.relationships(
-        Models.fctTransactions(raw), "customer_id", raw.customers, "customer_id"))
+        models.fctTransactions, "customer_id", raw.customers, "customer_id"))
   }
 }

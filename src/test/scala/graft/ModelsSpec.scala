@@ -45,10 +45,12 @@ class ModelsSpec extends AnyFunSuite {
       stockPrices = Generator.stockPrices(s, stockSyms, 21).withColumn("load_timestamp", loadTs))
   }
 
+  private lazy val models = Models(raw)
+
   test("hubs: one row per business key, 32-hex md5 keys") {
-    assert(Models.hubCustomer(raw).count() === 150)
-    assert(Models.hubTransaction(raw).count() === 800)
-    val asset = Models.hubAsset(raw)
+    assert(models.hubCustomer.count() === 150)
+    assert(models.hubTransaction.count() === 800)
+    val asset = models.hubAsset
     assert(asset.count() === asset.select("asset_hk").distinct().count())
     assert(asset.filter(!$"asset_hk".rlike("^[0-9a-f]{32}$")).count() === 0)
     // all five traded symbols + price-feed symbols resolve to assets
@@ -56,31 +58,31 @@ class ModelsSpec extends AnyFunSuite {
   }
 
   test("links resolve every transaction to a customer and an asset") {
-    assert(Models.linkCustomerTransaction(raw).count() === 800)
-    val lta = Models.linkTransactionAsset(raw)
+    assert(models.linkCustomerTransaction.count() === 800)
+    val lta = models.linkTransactionAsset
     assert(lta.count() === 800)
     // every link's asset_hk exists in hub_asset (relationships test)
-    val orphans = lta.join(Models.hubAsset(raw).select("asset_hk"), Seq("asset_hk"), "left_anti")
+    val orphans = lta.join(models.hubAsset.select("asset_hk"), Seq("asset_hk"), "left_anti")
     assert(orphans.count() === 0)
   }
 
   test("satellites carry hashdiffs; crypto price sat unions 3 sources") {
-    val sat = Models.satAssetPriceCrypto(raw)
+    val sat = models.satAssetPriceCrypto
     assert(sat.count() === 2 * 21 * 3)
     assert(sat.select("price_source").distinct().count() === 3)
-    assert(Models.satNewsContent(raw)
+    assert(models.satNewsContent
       .filter(!$"hashdiff".rlike("^[0-9a-f]{32}$")).count() === 0)
   }
 
   test("fct_transactions keeps transaction grain; fct_asset_prices harmonizes") {
-    assert(Models.fctTransactions(raw).count() === 800)
-    val fap = Models.fctAssetPrices(raw)
+    assert(models.fctTransactions.count() === 800)
+    val fap = models.fctAssetPrices
     assert(fap.filter($"price".isNull && $"close_price".isNull).count() === 0)
     assert(fap.count() === (2 * 21 * 3) + (3 * 21))
   }
 
   test("price comparison pivot: one row per asset-day, sources within 20%") {
-    val cmp = Models.fctAssetPriceComparison(raw)
+    val cmp = models.fctAssetPriceComparison
     assert(cmp.count() === 2 * 21)
     val spread = cmp.filter(
       abs($"binance_price" - $"coingecko_price") / $"binance_price" > 0.2)
@@ -88,7 +90,7 @@ class ModelsSpec extends AnyFunSuite {
   }
 
   test("news impact: t0 present, derived returns consistent") {
-    val impact = Models.fctAssetNewsImpact(raw)
+    val impact = models.fctAssetNewsImpact
     assert(impact.count() > 0)
     val bad = impact.filter($"v_t1".isNotNull &&
       abs($"return_1d" - ($"v_t1" - $"v_t0") / $"v_t0") > 1e-4)
@@ -96,13 +98,13 @@ class ModelsSpec extends AnyFunSuite {
   }
 
   test("scd2 dim: current view has exactly one row per customer") {
-    val cur = Models.dimCustomer(raw)
+    val cur = models.dimCustomer
     assert(cur.count() === 150)
     assert(cur.filter(!$"is_current").count() === 0)
   }
 
   test("all 20 ported reference DQ tests return zero violations") {
-    val results = graft.quality.Checks.summary(graft.quality.ReferenceTests.all(raw))
+    val results = graft.quality.Checks.summary(graft.quality.ReferenceTests.all(models))
       .as[(String, Long)].collect()
     assert(results.length >= 20)
     val failing = results.filter(_._2 > 0)
@@ -110,11 +112,11 @@ class ModelsSpec extends AnyFunSuite {
   }
 
   test("semantic overview reconciles with the raw transaction totals") {
-    val overview = Models.semanticCustomerOverview(raw)
+    val overview = models.semanticCustomerOverview
     val expectedTotal = raw.transactionPersonal.unionByName(raw.transactionCorporate)
       .agg(sum($"transaction_amount".cast("decimal(20,2)"))).as[java.math.BigDecimal].head()
     val gotTotal = overview.agg(sum($"total_amount")).as[java.math.BigDecimal].head()
     assert(gotTotal === expectedTotal)
-    assert(Models.semanticAssetOverview(raw).filter($"n_news" > 0).count() === 2)
+    assert(models.semanticAssetOverview.filter($"n_news" > 0).count() === 2)
   }
 }
