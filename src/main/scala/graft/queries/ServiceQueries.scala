@@ -163,6 +163,33 @@ object ServiceQueries {
     // distribution invariants enforced in GeneratorSpec)
     Q("q_generator_transactions",
       (s, _) => Generator.transactions(s, n = 5000, nCustomers = 500, seed = 42L),
+      None),
+
+    // The complete reference model DAG end-to-end (§3.1): generated
+    // reference-shaped raw tables -> vault -> marts -> semantic overview.
+    // Rows-only (reference-shaped inputs are generated, not testdata);
+    // semantic contracts live in ModelsSpec/ReferencePipelineSpec.
+    Q("q_reference_dag",
+      (s, _) => {
+        import graft.vault.Models
+        val loadTs = lit("2024-01-21 20:00:00").cast("timestamp")
+        def stamp(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("load_timestamp", loadTs).withColumn("source", lit("BATCH_DATA"))
+        val tx = stamp(Generator.transactions(s, 2000, nCustomers = 300))
+        val syms = Seq("BTC-USD", "ETH-USD")
+        val models = Models(Models.Raw(
+          transactionPersonal = tx.filter(col("customer_type") === "PERSONAL"),
+          transactionCorporate = tx.filter(col("customer_type") === "CORPORATE"),
+          customers = stamp(Generator.customers(s, 300))
+            .withColumn("company_id", lit(null).cast("string")),
+          corporates = stamp(Generator.corporates(s, 40)),
+          news = stamp(Generator.news(s, syms, perTicker = 10)),
+          cryptoPrices = Seq("binance", "coingecko", "yfinance").map(src =>
+            src -> Generator.cryptoPrices(s, syms, 21, src).withColumn("load_timestamp", loadTs)).toMap,
+          stockPrices = Generator.stockPrices(s, Seq("AAPL", "MSFT", "NVDA"), 21)
+            .withColumn("load_timestamp", loadTs)))
+        models.semanticCustomerOverview
+      },
       None)
   )
 }
