@@ -191,7 +191,10 @@ object AnalyticsQueries {
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("approx_price_q")),
+          // scalar quantile columns (not one array column) so the driver's
+          // rows-only check can sort the frame
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("approx_p99")),
       None)
   )
 }

@@ -429,7 +429,10 @@ object CoreQueries {
     // refresh recomputes exactly this shape)
     Q("q_hourly_activity",
       (s, dir) => t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        // date_trunc returns session-local TIMESTAMP; cast back to NTZ so
+        // the output parquet schema matches the oracle's naive timestamp
+        // (same pattern as q_pivot_daily_max's group key above)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), max(col("value")).as("max_value")),
       Some("""
         SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -450,8 +453,10 @@ object CoreQueries {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
           SELECT user_id, ts,
-                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                 -- DuckDB sum(int) is HUGEINT (-> float in pandas); cast to
+                 -- BIGINT so the hash matches Spark's int64 session_seq
+                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM g)
         SELECT user_id, session_seq, min(ts) AS session_start,
                max(ts) AS session_end, count(*) AS n_events
