@@ -62,8 +62,8 @@ object ReferenceTests {
 
       // test_price_comparison_variance.sql: cross-source spread <= 20%
       "price_comparison_variance" -> Checks.invariant(comparison,
-        coalesce(abs(col("binance_price") - col("coingecko_price"))
-          / nullif(col("binance_price"), lit(0)) <= 0.2, lit(true))),
+        coalesce(abs(col("price_binance") - col("price_coingecko"))
+          / nullif(col("price_binance"), lit(0)) <= 0.2, lit(true))),
 
       // test_price_data_freshness.sql: last observation <= 7 days before
       // the corpus as-of date (fixed here for determinism)
@@ -105,7 +105,7 @@ object ReferenceTests {
       // schema unique tests: hub/link grain
       "hub_transaction_unique" -> Checks.unique(models.hubTransaction, Seq("transaction_hk")),
       "link_customer_transaction_unique" ->
-        Checks.unique(models.linkCustomerTransaction, Seq("link_customer_transaction_hk")),
+        Checks.unique(models.linkCustomerTransaction, Seq("customer_transaction_hk")),
 
       // relationships: every fact row resolves to a current customer
       "fct_customer_relationship" -> Checks.relationships(

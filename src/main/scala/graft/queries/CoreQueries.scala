@@ -85,7 +85,7 @@ object CoreQueries {
           SELECT user_id, ts, event_id, event_type,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events)
-        SELECT md5(concat_ws('-', coalesce(CAST(user_id AS VARCHAR), ''))) AS user_hk,
+        SELECT md5(concat_ws('-', coalesce(CAST(user_id AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS user_hk,
                user_id, ts AS first_ts, event_type AS first_event_type
         FROM ranked WHERE rn = 1""")),
 
@@ -188,8 +188,9 @@ object CoreQueries {
       },
       Some("""
         WITH h AS (
-          SELECT *, md5(concat_ws('-', coalesce(CAST(user_id AS VARCHAR), ''))) AS user_hk,
-                 md5(concat_ws('-', coalesce(event_type, ''), coalesce(props, ''))) AS hashdiff
+          SELECT *, md5(concat_ws('-', coalesce(CAST(user_id AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS user_hk,
+                 md5(concat_ws('-', coalesce(event_type, '_dbt_utils_surrogate_key_null_'),
+                                    coalesce(props, '_dbt_utils_surrogate_key_null_'))) AS hashdiff
           FROM events)
         SELECT user_hk, hashdiff, min(ts) AS first_seen, count(*) AS n_rows
         FROM h
@@ -405,7 +406,8 @@ object CoreQueries {
                substr(c_name, 1, 10) AS name_prefix,
                regexp_replace(c_name, '[0-9]', '', 'g') AS name_nodigits,
                concat_ws('-', CAST(c_custkey AS VARCHAR), c_mktsegment) AS biz_key,
-               md5(concat_ws('-', coalesce(CAST(c_custkey AS VARCHAR), ''), coalesce(c_mktsegment, ''))) AS customer_hk,
+               md5(concat_ws('-', coalesce(CAST(c_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+                                  coalesce(c_mktsegment, '_dbt_utils_surrogate_key_null_'))) AS customer_hk,
                CASE WHEN c_acctbal < 0 THEN 'NEG' WHEN c_acctbal = 0 THEN 'ZERO' ELSE 'POS' END AS bal_sign,
                CAST(abs(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS abs_bal,
                c_name LIKE '%1%' AS name_has_1,

@@ -77,10 +77,13 @@ object RawSchemas {
     s("long_name"), s("short_name"), s("data_source"),
     ts("load_timestamp", nullable = false)))
 
-  /** The static asset_info seed (reference `seeds/seeds.yml:4-35`). */
+  /** The static asset_info seed — columns exactly as documented in the
+    * reference (`seeds/seeds.yml:15-35`): symbol, type, name, category,
+    * class, market-cap bucket, sector.
+    */
   val assetInfo: StructType = StructType(Seq(
-    s("asset_symbol"), s("asset_name"), s("asset_type"), s("exchange"),
-    s("sector"), s("industry"), s("base_currency")))
+    s("asset_symbol"), s("asset_type"), s("asset_name"), s("asset_category"),
+    s("asset_class"), s("market_cap_category"), s("sector")))
 
   /** All nine raw tables by name (the engine's table catalog). */
   val all: Map[String, StructType] = Map(

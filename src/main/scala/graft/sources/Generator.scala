@@ -127,6 +127,8 @@ object Generator {
           col("id").cast("string")).as("url"),
         concat(upper(col("ticker")), lit(" "), theme).as("title"),
         concat(lit("story about "), lower(col("ticker"))).as("description"),
+        concat(lit("https://img.example.com/"), lower(col("ticker")), lit("/"),
+          col("id").cast("string"), lit(".jpg")).as("image"),
         timestamp_seconds(lit(1704182400L)
           + pmod(xxhash64(lit(seed), col("ticker"), col("id")), lit(20)) * 86400L).as("date"))
   }
@@ -163,6 +165,9 @@ object Generator {
       weighted(seed, "side", Seq("BUY" -> 0.55, "SELL" -> 0.45)).as("transaction_type"),
       weighted(seed, "custtype", Seq("PERSONAL" -> 0.8, "CORPORATE" -> 0.2)).as("customer_type"),
       tier.as("customer_tier"),
+      weighted(seed, "txrisk", Seq(
+        "CONSERVATIVE" -> 0.30, "MODERATE" -> 0.50, "AGGRESSIVE" -> 0.20)).as("customer_risk_tolerance"),
+      lit("BATCH_DATA").as("data_source"),
       timestamp_seconds(lit(1704067200L)
         + pmod(xxhash64(lit(seed), col("id"), lit("txd")), lit(20)) * 86400L
         + pmod(xxhash64(lit(seed), col("id"), lit("txh")), lit(24)) * 3600L)

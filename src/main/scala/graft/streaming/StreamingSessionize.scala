@@ -60,7 +60,13 @@ object StreamingSessionize {
         }
         open.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.endMs + gapMs)
+          // setTimeoutTimestamp throws (killing the query) if the instant
+          // is not strictly later than the current watermark — reachable
+          // when the watermark delay exceeds the gap and a late event
+          // reopens a session whose end+gap is already behind. Clamp to
+          // watermark+1 so such sessions close on the next trigger instead.
+          state.setTimeoutTimestamp(
+            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.result().iterator
       }

@@ -43,6 +43,11 @@ object DataVault {
   /** A link: one row per distinct combination of member keys; carries the
     * link hash key plus each member's hash key.
     * `members` maps member hash-key name -> that member's business keys.
+    *
+    * The link hash key is md5 over the member *hash keys* (md5 of md5s),
+    * exactly as the reference computes it — e.g.
+    * `links/link_customer_transaction.sql:57-60`
+    * generate_surrogate_key(['customer_hk','transaction_hk']).
     */
   def link(
       src: DataFrame,
@@ -52,9 +57,10 @@ object DataVault {
       sourceCol: Column,
       order: Seq[Column]): DataFrame = {
     val allKeys = members.flatMap(_._2)
+    val memberHks = members.map { case (_, ks) => Hashing.surrogateKey(ks.map(col): _*) }
     Dedup.firstRows(src, allKeys, order)
-      .select((Seq(Hashing.surrogateKey(allKeys.map(col): _*).as(linkHashName)) ++
-        members.map { case (hk, ks) => Hashing.surrogateKey(ks.map(col): _*).as(hk) } ++
+      .select((Seq(Hashing.surrogateKey(memberHks: _*).as(linkHashName)) ++
+        members.zip(memberHks).map { case ((hk, _), mk) => mk.as(hk) } ++
         allKeys.map(col) ++
         Seq(col(loadTsCol).as("load_timestamp"), sourceCol.as("record_source"))): _*)
   }
@@ -62,15 +68,27 @@ object DataVault {
   /** A satellite: attribute payload keyed by the parent hash key, with a
     * hashdiff over the attributes for change detection (insert-only; pair
     * with `Incremental.changedRows` for the incremental guard).
+    *
+    * @param hashAttrs columns the hashdiff covers when it is a subset of
+    *                  the carried payload (reference sats hash the business
+    *                  attributes but also carry keys/metadata, e.g.
+    *                  `sats/sat_transaction_personal.sql:60-75`); empty →
+    *                  hash all of `attrs`.
+    * @param sourceCol when set, carried through as `record_source`.
     */
   def satellite(
       src: DataFrame,
       parentKeys: Seq[String],
       parentHashName: String,
       attrs: Seq[String],
-      loadTsCol: String): DataFrame =
+      loadTsCol: String,
+      hashAttrs: Seq[String] = Seq(),
+      sourceCol: Option[Column] = None): DataFrame = {
+    val hashed = if (hashAttrs.nonEmpty) hashAttrs else attrs
     src.select((Seq(Hashing.surrogateKey(parentKeys.map(col): _*).as(parentHashName)) ++
       attrs.map(col) ++
-      Seq(Hashing.hashdiff(attrs.map(col): _*).as("hashdiff"),
+      sourceCol.map(_.as("record_source")).toSeq ++
+      Seq(Hashing.hashdiff(hashed.map(col): _*).as("hashdiff"),
         col(loadTsCol).as("load_timestamp"))): _*)
+  }
 }

@@ -13,12 +13,27 @@ import graft.operators.{Dedup, EventWindows, Scd2}
   * inputs; every model is a pure function, so the DAG composes lazily and
   * Catalyst optimizes across model boundaries (the reference's ephemeral
   * inlining for free — SURVEY §4).
+  *
+  * Documented deviations from the reference SQL (each deliberate):
+  *   - asset keys use the full feed symbol + upper-cased type
+  *     (`("BTC-USD","CRYPTO")`) rather than `(upper(base_currency),
+  *     lower(type))` — internally consistent across hub/links/sats, which
+  *     is what the joins require.
+  *   - `sat_asset_price_*` does NOT replicate the reference's
+  *     `asset_source = hub_asset.record_source` join term
+  *     (`sat_asset_price_crypto.sql:82-86`): hub_asset keeps one earliest
+  *     `record_source` per asset (`hub_asset.sql:20-25`), so that term
+  *     silently drops every other feed's prices — with tied load
+  *     timestamps it is even nondeterministic which feed survives. The
+  *     multi-source comparison mart (`fct_asset_price_comparison.sql`)
+  *     only works when all feeds reach the sat, so this engine keeps them.
   */
 object Models {
 
   def apply(raw: Raw): Models = new Models(raw)
 
-  /** The nine raw tables (SURVEY §1.2). Crypto price maps are keyed by
+  /** The nine raw tables (SURVEY §1.2) plus the optional `asset_info` seed
+    * (reference `seeds/seeds.yml:4-35`). Crypto price maps are keyed by
     * source name (binance/coingecko/yfinance/...).
     */
   final case class Raw(
@@ -28,7 +43,18 @@ object Models {
       corporates: DataFrame,
       news: DataFrame,
       cryptoPrices: Map[String, DataFrame],
-      stockPrices: DataFrame)
+      stockPrices: DataFrame,
+      assetInfo: Option[DataFrame] = None)
+
+  /** categorize_news macro parity (`macros/categorize_news.sql:1-8`):
+    * keyword classification of a news title into the reference's four
+    * categories.
+    */
+  def categorizeNews(title: Column): Column =
+    when(lower(title).like("%crypto%"), lit("Crypto"))
+      .when(lower(title).like("%stock%"), lit("Stock"))
+      .when(lower(title).like("%market%"), lit("Market"))
+      .otherwise(lit("General"))
 }
 
 /** One DAG instantiation over a Raw input: every model is a lazy val, so
@@ -58,10 +84,24 @@ final class Models(val raw: Models.Raw) {
       Seq("transaction_id"), "transaction_hk",
       "load_timestamp", col("source"), Seq(col("load_timestamp"), col("transaction_id")))
 
-  /** hub_news.sql:15-37 — grain (ticker, url). */
+  /** ephemeral_news.sql:8-29 — dedup raw news on (url, ticker, asset_type),
+    * earliest (load_timestamp, source) wins. Every news consumer (hub, sat,
+    * link) reads this, so duplicate scrapes of the same article collapse
+    * before they can fan out.
+    */
+  lazy val ephemeralNews: DataFrame =
+    Dedup.firstRows(
+      raw.news.withColumn("ticker", upper(col("ticker")))
+        .withColumn("asset_type", upper(col("asset_type"))),
+      Seq("url", "ticker", "asset_type"),
+      Seq(col("load_timestamp"), col("source")))
+
+  /** hub_news.sql:8-37 — grain is `url` alone (an article shared across
+    * tickers is ONE hub row); news_hk = generate_surrogate_key(['url']).
+    */
   lazy val hubNews: DataFrame =
-    DataVault.hub(raw.news, Seq("ticker", "url"), "news_hk",
-      "load_timestamp", col("source"), Seq(col("load_timestamp"), col("url")))
+    DataVault.hub(ephemeralNews, Seq("url"), "news_hk",
+      "load_timestamp", col("source"), Seq(col("load_timestamp"), col("source")))
 
   /** ephemeral_asset.sql:5-65 (U1) — all assets across price sources +
     * transactions, typed and deduped; hub_asset.sql:21-44 keys it.
@@ -90,7 +130,7 @@ final class Models(val raw: Models.Raw) {
     DataVault.link(
       raw.transactionPersonal.unionByName(raw.transactionCorporate),
       Seq("customer_hk" -> Seq("customer_id"), "transaction_hk" -> Seq("transaction_id")),
-      "link_customer_transaction_hk", "load_timestamp", col("source"),
+      "customer_transaction_hk", "load_timestamp", col("source"),
       Seq(col("load_timestamp"), col("transaction_id")))
 
   /** link_transaction_asset.sql:15-66 (J2 case-normalized). */
@@ -101,23 +141,44 @@ final class Models(val raw: Models.Raw) {
     DataVault.link(tx,
       Seq("transaction_hk" -> Seq("transaction_id"),
         "asset_hk" -> Seq("asset_symbol", "asset_type")),
-      "link_transaction_asset_hk", "load_timestamp", col("source"),
+      "transaction_asset_hk", "load_timestamp", col("source"),
       Seq(col("load_timestamp"), col("transaction_id")))
+  }
+
+  /** link_company_transaction.sql:14-91 — corporate transactions only
+    * (`customer_id` there IS the company id), and only those whose company
+    * resolves in hub_company (the reference's inner hub join): a corporate
+    * trade from an unregistered company yields no link row.
+    */
+  lazy val linkCompanyTransaction: DataFrame = {
+    val src = raw.transactionCorporate.select(
+      col("transaction_id"), col("customer_id").as("company_id"),
+      col("load_timestamp"), col("source").as("record_source"))
+    val resolved = src
+      .join(broadcast(hubCompany.select(col("company_hk"), col("company_id"))), Seq("company_id"))
+      .join(hubTransaction.select(col("transaction_hk"), col("transaction_id")), Seq("transaction_id"))
+    Dedup.firstRows(resolved, Seq("company_hk", "transaction_hk"),
+      Seq(col("load_timestamp"), col("transaction_id")))
+      .select(
+        Hashing.surrogateKey(col("company_hk"), col("transaction_hk")).as("company_transaction_hk"),
+        col("company_hk"), col("transaction_hk"),
+        col("load_timestamp"), col("record_source"))
   }
 
   /** link_customer_company.sql:23-40 — only customers with a company. */
   lazy val linkCustomerCompany: DataFrame =
     DataVault.link(raw.customers.filter(col("company_id").isNotNull),
       Seq("customer_hk" -> Seq("customer_id"), "company_hk" -> Seq("company_id")),
-      "link_customer_company_hk", "load_timestamp", col("source"),
+      "customer_company_hk", "load_timestamp", col("source"),
       Seq(col("load_timestamp"), col("customer_id")))
 
-  /** link_news_asset.sql:33-47 (J2). */
+  /** link_news_asset.sql:15-88 (J2) — news_hk from url alone, asset member
+    * from (ticker, type); reads the deduped ephemeral_news.
+    */
   lazy val linkNewsAsset: DataFrame =
-    DataVault.link(raw.news.withColumn("ticker", upper(col("ticker")))
-      .withColumn("asset_type", upper(col("asset_type"))),
-      Seq("news_hk" -> Seq("ticker", "url"), "asset_hk" -> Seq("ticker", "asset_type")),
-      "link_news_asset_hk", "load_timestamp", col("source"),
+    DataVault.link(ephemeralNews,
+      Seq("news_hk" -> Seq("url"), "asset_hk" -> Seq("ticker", "asset_type")),
+      "news_asset_hk", "load_timestamp", col("source"),
       Seq(col("load_timestamp"), col("url")))
 
   // ---------------------------------------------------------- satellites
@@ -132,49 +193,78 @@ final class Models(val raw: Models.Raw) {
     DataVault.satellite(raw.corporates, Seq("company_id"), "company_hk",
       Seq("company_name", "company_type", "country", "year_founded"), "load_timestamp")
 
-  /** sat_transaction_personal.sql:41-93 / sat_transaction_corp.sql. */
+  /** sat_transaction_personal.sql:15-100 / sat_transaction_corp.sql — the
+    * full attribute payload, with the hashdiff over exactly the reference's
+    * 14 attribute columns (`sat_transaction_personal.sql:60-75`); keys and
+    * metadata are carried but not hashed.
+    */
   def satTransaction(tx: DataFrame): DataFrame =
     DataVault.satellite(tx, Seq("transaction_id"), "transaction_hk",
-      Seq("asset_type", "asset_symbol", "transaction_type", "quantity",
-        "price_per_unit", "transaction_amount", "fee_amount",
-        "transaction_timestamp"),
-      "load_timestamp")
+      Seq("transaction_id", "customer_id", "asset_type", "asset_symbol",
+        "transaction_type", "quantity", "price_per_unit", "transaction_amount",
+        "fee_amount", "transaction_timestamp", "data_date", "customer_tier",
+        "customer_risk_tolerance", "customer_type", "data_source"),
+      "load_timestamp",
+      hashAttrs = Seq("customer_id", "asset_type", "asset_symbol",
+        "transaction_type", "quantity", "price_per_unit", "transaction_amount",
+        "fee_amount", "transaction_timestamp", "data_date", "customer_tier",
+        "customer_risk_tolerance", "customer_type", "data_source"),
+      sourceCol = Some(col("source")))
 
   /** ephemeral_sat_transaction_full.sql:4-6 (U5 union distinct). */
   lazy val ephemeralSatTransactionFull: DataFrame =
     satTransaction(raw.transactionPersonal)
       .union(satTransaction(raw.transactionCorporate)).distinct()
 
-  /** sat_asset_price_crypto.sql:15-103 (U3 of the crypto sources). */
+  /** sat_asset_price_crypto.sql:15-103 (U3 of the crypto sources) — grain
+    * asset_hk + observed_at + record_source + hashdiff; hashdiff over the
+    * reference's 5 price attributes (`:66-72`). See the object Scaladoc
+    * for why the hub record_source join term is not replicated.
+    */
   lazy val satAssetPriceCrypto: DataFrame =
     raw.cryptoPrices.values.map(
       _.select(
         Hashing.surrogateKey(upper(col("symbol")), lit("CRYPTO")).as("asset_hk"),
-        col("price"), col("volume"), upper(col("source")).as("price_source"),
+        col("symbol"), col("base_currency"), col("quote_currency"),
+        col("price"), col("volume"), col("source").as("record_source"),
         col("observed_at"),
-        Hashing.hashdiff(col("price"), col("volume"), col("observed_at")).as("hashdiff")))
+        Hashing.hashdiff(col("symbol"), col("base_currency"), col("quote_currency"),
+          col("price"), col("volume")).as("hashdiff")))
       .reduce(_ unionByName _)
 
-  /** sat_asset_price_stock.sql:15-91. */
-  lazy val satAssetPriceStock: DataFrame =
-    raw.stockPrices.select(
+  /** sat_asset_price_stock.sql:15-103 — hashdiff over the reference's OHLCV
+    * attribute set (`:70-78`, minus the columns this feed doesn't carry).
+    */
+  lazy val satAssetPriceStock: DataFrame = {
+    val src =
+      if (raw.stockPrices.columns.contains("source")) raw.stockPrices
+      else raw.stockPrices.withColumn("source", lit(null).cast("string"))
+    src.select(
       Hashing.surrogateKey(upper(col("symbol")), lit("STOCK")).as("asset_hk"),
       col("open_price"), col("high_price"), col("low_price"), col("close_price"),
       col("volume"), col("date").as("price_date"),
-      Hashing.hashdiff(col("close_price"), col("volume"), col("date")).as("hashdiff"))
+      col("date").cast("timestamp").as("observed_at"),
+      // ephemeral_asset.sql:44 — stock source defaults to yfinance
+      coalesce(col("source"), lit("yfinance")).as("record_source"),
+      Hashing.hashdiff(col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("volume")).as("hashdiff"))
+  }
 
-  /** sat_news_content.sql:17-63 + categorize_news macro
-    * (`macros/categorize_news.sql:2-7`).
+  /** sat_news_content.sql:15-63 — insert-only content satellite over the
+    * deduped ephemeral_news, keyed by url-grain news_hk; hashdiff covers
+    * (published_date, title, description, image) (`:36-41`) so a changed
+    * date or image IS a new version.
     */
   lazy val satNewsContent: DataFrame =
-    raw.news.select(
-      Hashing.surrogateKey(upper(col("ticker")), col("url")).as("news_hk"),
-      col("title"), col("description"), col("date").as("published_date"),
-      when(lower(col("title")).like("%surge%") || lower(col("title")).like("%rally%"), "PRICE_MOVEMENT")
-        .when(lower(col("title")).like("%regulation%") || lower(col("title")).like("%sec%"), "REGULATORY")
-        .when(lower(col("title")).like("%hack%") || lower(col("title")).like("%breach%"), "SECURITY")
-        .otherwise("GENERAL").as("news_category"),
-      Hashing.hashdiff(col("title"), col("description")).as("hashdiff"))
+    ephemeralNews.select(
+      Hashing.surrogateKey(col("url")).as("news_hk"),
+      col("url"),
+      col("date").as("published_date"),
+      col("title"), col("description"), col("image"),
+      col("source").as("record_source"),
+      col("load_timestamp"),
+      Hashing.hashdiff(col("date"), col("title"), col("description"), col("image"))
+        .as("hashdiff"))
 
   // --------------------------------------------------------------- marts
 
@@ -205,7 +295,7 @@ final class Models(val raw: Models.Raw) {
   lazy val dimAsset: DataFrame = {
     val cryptoLatest = Dedup.latestRows(
       satAssetPriceCrypto, Seq("asset_hk"),
-      Seq(col("observed_at").desc, col("price_source").desc))
+      Seq(col("observed_at").desc, col("record_source").desc))
       .select(col("asset_hk"), col("price").as("latest_price"))
     val stockLatest = Dedup.latestRows(
       satAssetPriceStock, Seq("asset_hk"),
@@ -214,53 +304,103 @@ final class Models(val raw: Models.Raw) {
     hubAsset.join(cryptoLatest.unionByName(stockLatest), Seq("asset_hk"), "left")
   }
 
-  /** fct_transactions.sql:32-43 — 4-way star assembly (J4). */
-  lazy val fctTransactions: DataFrame =
-    linkCustomerTransaction
-      .select("customer_hk", "transaction_hk")
-      .join(ephemeralSatTransactionFull, Seq("transaction_hk"))
-      .join(broadcast(hubCustomer.select("customer_hk", "customer_id")), Seq("customer_hk"))
-
-  /** fct_asset_prices.sql:12-53 — U4 harmonized crypto+stock prices. */
-  lazy val fctAssetPrices: DataFrame = {
-    val crypto = satAssetPriceCrypto.select(
-      col("asset_hk"), col("price"),
-      lit(null).cast("decimal(20,8)").as("open_price"),
-      lit(null).cast("decimal(20,8)").as("close_price"),
-      col("volume"), col("price_source"),
-      to_date(col("observed_at")).as("price_date"))
-    val stock = satAssetPriceStock.select(
-      col("asset_hk"),
-      lit(null).cast("decimal(20,8)").as("price"),
-      col("open_price"), col("close_price"), col("volume"),
-      lit("YFINANCE").as("price_source"), col("price_date"))
-    crypto.unionByName(stock)
+  /** dim_asset enriched with the static asset_info seed
+    * (`seeds/seeds.yml:4-35`) — classification attributes (class,
+    * category, market-cap bucket, sector) joined on (symbol, type).
+    * Broadcast: the seed is a small static table.
+    */
+  lazy val dimAssetEnriched: DataFrame = {
+    val seed = raw.assetInfo.getOrElse(
+      raw.customers.sparkSession.emptyDataFrame
+        .select(Seq("asset_symbol", "asset_type", "asset_name", "asset_category",
+          "asset_class", "market_cap_category", "sector")
+          .map(n => lit(null).cast("string").as(n)): _*))
+    dimAsset.join(
+      broadcast(seed.withColumnRenamed("asset_class", "seed_asset_class")),
+      Seq("asset_symbol", "asset_type"), "left")
   }
 
-  /** fct_news_events.sql:22-29 — news ⋈ link ⋈ asset (3-way). */
+  /** fct_transactions.sql:10-43 — the 5-way star: hub_transaction ⋈
+    * link_customer_transaction ⋈ hub_customer ⋈ link_transaction_asset ⋈
+    * ephemeral_sat_transaction_full (J4, hubs broadcast), carrying the
+    * reference's full column list incl. data_date + record_source.
+    */
+  lazy val fctTransactions: DataFrame = {
+    val t = hubTransaction.select(
+      col("transaction_hk"), col("transaction_id"), col("load_timestamp"))
+    val lct = linkCustomerTransaction.select(col("transaction_hk"), col("customer_hk"))
+    val lta = linkTransactionAsset.select(col("transaction_hk"), col("asset_hk"))
+    val r = ephemeralSatTransactionFull.select(
+      col("transaction_hk"), col("transaction_type"), col("quantity"),
+      col("price_per_unit"), col("transaction_amount"), col("fee_amount"),
+      col("transaction_timestamp"), col("data_date"), col("data_source"))
+    t.join(lct, Seq("transaction_hk"))
+      .join(broadcast(hubCustomer.select(col("customer_hk"), col("customer_id"))),
+        Seq("customer_hk"))
+      .join(lta, Seq("transaction_hk"))
+      .join(r, Seq("transaction_hk"))
+      .select(
+        col("transaction_hk"), col("transaction_id"), col("customer_id"),
+        col("customer_hk"), col("asset_hk"),
+        col("transaction_type"), col("quantity"), col("price_per_unit"),
+        col("transaction_amount"), col("fee_amount"),
+        col("transaction_timestamp").cast("timestamp_ntz").as("transaction_timestamp"),
+        col("data_date"),
+        col("data_source").as("record_source"),
+        col("load_timestamp"))
+  }
+
+  /** fct_asset_prices.sql:12-53 — unified crypto+stock prices with
+    * asset_class from the union branch and hub-resolved symbol/type (U4+J5).
+    */
+  lazy val fctAssetPrices: DataFrame = {
+    val crypto = satAssetPriceCrypto.select(
+      col("asset_hk"), col("observed_at"), col("price"), col("volume"),
+      upper(col("record_source")).as("price_source"),
+      lit("crypto").as("asset_class"))
+    val stock = satAssetPriceStock.select(
+      col("asset_hk"), col("observed_at"),
+      col("close_price").as("price"), col("volume"),
+      upper(col("record_source")).as("price_source"),
+      lit("stock").as("asset_class"))
+    crypto.unionByName(stock)
+      .join(broadcast(hubAsset.select(col("asset_hk"), col("asset_symbol"), col("asset_type"))),
+        Seq("asset_hk"))
+      .select(
+        col("asset_hk"), col("asset_symbol"), col("asset_type"),
+        col("observed_at"), to_date(col("observed_at")).as("price_date"),
+        col("price"), col("volume"), col("price_source"), col("asset_class"))
+  }
+
+  /** fct_news_events.sql:9-29 — link ⋈ hub_news ⋈ hub_asset ⋈ sat content. */
   lazy val fctNewsEvents: DataFrame =
-    linkNewsAsset.select("news_hk", "asset_hk")
-      .join(satNewsContent.drop("hashdiff"), Seq("news_hk"))
+    linkNewsAsset.select(col("news_hk"), col("asset_hk"))
+      .join(satNewsContent.select(
+        col("news_hk"), col("published_date"), col("title"), col("description"),
+        col("url"), col("record_source").as("news_source")), Seq("news_hk"))
       .join(broadcast(hubAsset), Seq("asset_hk"))
 
-  /** fct_asset_price_comparison.sql:9-32 — A1 daily avg + A2 fixed pivot. */
+  /** fct_asset_price_comparison.sql:9-38 — A1 daily avg per source + A2
+    * fixed pivot over the three feed names, from the unified price fact.
+    */
   lazy val fctAssetPriceComparison: DataFrame =
-    satAssetPriceCrypto
-      .groupBy(col("asset_hk"), to_date(col("observed_at")).as("price_date"))
-      .pivot("price_source", Seq("BINANCE", "COINGECKO", "YFINANCE"))
-      .agg(avg(col("price")))
+    fctAssetPrices
+      .groupBy(col("asset_hk"), col("price_date"), upper(col("price_source")).as("__src"))
+      .agg(avg(col("price")).as("daily_price"))
+      .groupBy(col("asset_hk"), col("price_date"))
+      .pivot("__src", Seq("BINANCE", "COINGECKO", "YFINANCE"))
+      .agg(max(col("daily_price")))
       .withColumnsRenamed(Map(
-        "BINANCE" -> "binance_price", "COINGECKO" -> "coingecko_price",
-        "YFINANCE" -> "yfinance_price"))
+        "BINANCE" -> "price_binance", "COINGECKO" -> "price_coingecko",
+        "YFINANCE" -> "price_yfinance"))
 
   /** fct_asset_news_impact.sql:20-88 — J6 event windows at t0/t1/t3/t7 +
     * derived returns.
     */
   lazy val fctAssetNewsImpact: DataFrame = {
     val dailyPrices = fctAssetPrices
-      .withColumn("p", coalesce(col("price"), col("close_price")))
       .groupBy(col("asset_hk"), col("price_date"))
-      .agg(avg(col("p")).as("daily_price"))
+      .agg(avg(col("price")).as("daily_price"))
     val newsDates = fctNewsEvents
       .select(col("asset_hk"), col("news_hk"), to_date(col("published_date")).as("news_date"))
     val ret = (a: Column, b: Column) => (a - b) / nullif(b, lit(0))
@@ -288,15 +428,25 @@ final class Models(val raw: Models.Raw) {
 
   /** semantic_transactions.sql:41-45 — fact + asset dim flat view (J2+J5). */
   lazy val semanticTransactions: DataFrame = {
-    val assets = hubAsset
-      .withColumnRenamed("asset_symbol", "hub_symbol")
-      .withColumnRenamed("asset_type", "hub_type")
+    val assets = hubAsset.select(
+      col("asset_hk"),
+      col("asset_symbol").as("hub_symbol"),
+      col("asset_type").as("hub_type"))
     fctTransactions
-      .join(broadcast(assets),
-        upper(col("asset_symbol")) === col("hub_symbol") &&
-          upper(col("asset_type")) === col("hub_type"), "left")
-      .drop("hub_symbol", "hub_type")
+      .join(broadcast(assets), Seq("asset_hk"), "left")
+      .withColumnRenamed("hub_symbol", "asset_symbol")
+      .withColumnRenamed("hub_type", "asset_type")
   }
+
+  /** semantic_asset_performance.sql:10-22 — grain asset_symbol + type +
+    * class + price_date + price_source; a pure projection of the unified
+    * price fact (the reference materializes it as a view).
+    */
+  lazy val semanticAssetPerformance: DataFrame =
+    fctAssetPrices.select(
+      col("asset_symbol"), col("asset_type"), col("asset_class"),
+      to_date(col("observed_at")).as("price_date"), col("price_source"),
+      col("price"), col("volume"))
 
   /** semantic_asset_overview-style rollup over prices + news counts. */
   lazy val semanticAssetOverview: DataFrame = {

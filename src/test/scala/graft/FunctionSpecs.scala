@@ -22,10 +22,15 @@ class HashingSpec extends AnyFunSuite {
     assert(got === md5hex("42-GOLD"))
   }
 
-  test("nulls hash as empty strings") {
+  test("nulls hash as the dbt_utils sentinel (not empty string)") {
     val got = Seq((Some("a"), Option.empty[String])).toDF("x", "y")
       .select(Hashing.surrogateKey($"x", $"y")).as[String].head()
-    assert(got === md5hex("a-"))
+    assert(got === md5hex("a-" + Hashing.NullSentinel))
+    // NULL and '' must NOT collide
+    val empty = Seq((Some("a"), Some(""))).toDF("x", "y")
+      .select(Hashing.surrogateKey($"x", $"y")).as[String].head()
+    assert(empty === md5hex("a-"))
+    assert(got !== empty)
   }
 
   test("property: surrogateKey == md5 of '-'-joined strings (100 generated pairs)") {
