@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, Q, ServiceQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, DagQueries, Q, ServiceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All registered queries (each maps to an operator family in SURVEY §2). */
   def registered: Seq[Q] =
-    CoreQueries.all ++ CorpusQueries.all ++ ServiceQueries.all ++ AnalyticsQueries.all
+    CoreQueries.all ++ CorpusQueries.all ++ ServiceQueries.all ++
+      AnalyticsQueries.all ++ DagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -354,12 +354,15 @@ final class Models(val raw: Models.Raw) {
     * asset_class from the union branch and hub-resolved symbol/type (U4+J5).
     */
   lazy val fctAssetPrices: DataFrame = {
+    // observed_at normalized to ntz: the crypto feeds may carry instants
+    // while the stock sat derives it from a date — the union needs one type
     val crypto = satAssetPriceCrypto.select(
-      col("asset_hk"), col("observed_at"), col("price"), col("volume"),
+      col("asset_hk"), col("observed_at").cast("timestamp_ntz").as("observed_at"),
+      col("price"), col("volume"),
       upper(col("record_source")).as("price_source"),
       lit("crypto").as("asset_class"))
     val stock = satAssetPriceStock.select(
-      col("asset_hk"), col("observed_at"),
+      col("asset_hk"), col("observed_at").cast("timestamp_ntz").as("observed_at"),
       col("close_price").as("price"), col("volume"),
       upper(col("record_source")).as("price_source"),
       lit("stock").as("asset_class"))
