@@ -6,8 +6,16 @@ import org.apache.spark.sql.SparkSession
   * query once first so JIT/codegen compilation is excluded from the timed
   * numbers — the measurements then reflect steady-state executor work, the
   * quantity that actually scales with data volume.
+  *
+  * Queries are materialized through the `noop` sink, not `count()`:
+  * count() lets Catalyst prune every unreferenced projection, so map-only
+  * queries would measure a row count instead of their expression work. The
+  * noop sink forces full column materialization with zero write cost.
   */
 object Bench {
+
+  private def run(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -23,13 +31,13 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

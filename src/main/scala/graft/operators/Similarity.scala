@@ -64,9 +64,13 @@ object Similarity {
     */
   def kmeansFit(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    // constant partition key: the frame is k rows by construction (limit k),
+    // so the single-partition window is bounded — the partitionBy silences
+    // the global-window plan warning without changing the execution
     var centroids = embeddings
       .orderBy(col(idCol)).limit(k)
-      .select(row_number().over(Window.orderBy(col(idCol))).cast("long").as("centroid_id"),
+      .select(row_number().over(Window.partitionBy(lit(0)).orderBy(col(idCol)))
+        .cast("long").as("centroid_id"),
         toDouble(col(vecCol)).as(vecCol))
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, "centroid_id")
@@ -82,8 +86,39 @@ object Similarity {
         .join(means, col("centroid_id") === col("cluster_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("__new"), col(vecCol)).as(vecCol))
+        // truncate the lineage each iteration: the frame is k tiny rows,
+        // but without this the plan compounds per iteration and dominates
+        // at iters >> 3 (planning cost, not data cost)
+        .localCheckpoint()
     }
     centroids
+  }
+
+  /** IVF-blocked near-duplicate pairs: vectors are assigned to their
+    * nearest centroid (broadcast argmin, map-only), then ONLY within-cluster
+    * pairs are cosine-verified — the all-pairs O(n²) never materializes;
+    * the one shuffle is on cluster_id and each cluster's work is
+    * (cluster_size)². At scale, k grows with n (k ≈ n / target_cluster_size)
+    * so total work is O(n · cluster_size), and recall is controlled by the
+    * clustering quality (measured against all-pairs in SimilaritySpec).
+    * Ties and arithmetic are deterministic, so an independent SQL engine
+    * replays the result bit-for-bit.
+    */
+  def ivfNearDupPairs(embeddings: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, centroidIdCol: String, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, centroidIdCol)
+      .select(col("cluster_id"), col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val a = assigned.select(col("cluster_id"), col("__id").as("a_id"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("cluster_id"), col("__id").as("b_id"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / nullif(col("__na") * col("__nb"), lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster_id"), col("a_id"), col("b_id"), col("cosine"))
   }
 
   /** Sum of squared distances to the assigned centroid — the k-means

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.TextFns
 import graft.operators.{Dedup, Multimodal, Similarity, TextDedup}
 import Q.t
 
@@ -230,33 +230,39 @@ object CorpusQueries {
         FROM v, q
         ORDER BY cosine DESC, vec_id LIMIT 20""")),
 
-    // Embedding-cosine near-dup pairs within a label block.
+    // Embedding-cosine near-dup pairs, IVF-cluster-blocked: assign every
+    // vector to its nearest centroid (broadcast argmin, map-only), verify
+    // exact cosine only within clusters. All-pairs never materializes —
+    // work is O(n * cluster_size) once k scales with n — and the oracle
+    // replays assignment + verification bit-for-bit. Recall vs all-pairs
+    // is measured in SimilaritySpec on the same data.
     Q("q_embedding_near_dup",
       (s, dir) => {
-        // norms precomputed per vector (not per pair) — same doubles, half
-        // the per-pair fold work; dot is the only per-pair array walk
         val e = t(s, dir, "embeddings")
-          .select(col("label"), col("vec_id"), VectorFns.toDouble(col("embedding")).as("__v"))
-          .withColumn("__norm", VectorFns.norm(col("__v")))
-        val a = e.select(col("label"), col("vec_id").as("a_id"), col("__v").as("__va"), col("__norm").as("__na"))
-        val b = e.select(col("label"), col("vec_id").as("b_id"), col("__v").as("__vb"), col("__norm").as("__nb"))
-        a.join(b, Seq("label"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("cosine",
-            VectorFns.dot(col("__va"), col("__vb")) / nullif(col("__na") * col("__nb"), lit(0.0)))
-          .filter(col("cosine") >= 0.4)
-          .select(col("label"), col("a_id"), col("b_id"), col("cosine"))
+        Similarity.ivfNearDupPairs(
+          e, e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "centroid_id"),
+          "vec_id", "embedding", "centroid_id", threshold = 0.4)
       },
       Some("""
-        WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)
-        SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-               list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)
-                 / nullif(sqrt(list_reduce(list_transform(a.vec, x -> x * x), (x, y) -> x + y))
-                          * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (x, y) -> x + y)), 0.0) AS cosine
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)
-                / nullif(sqrt(list_reduce(list_transform(a.vec, x -> x * x), (x, y) -> x + y))
-                         * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (x, y) -> x + y)), 0.0) >= 0.4""")),
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+        d AS (
+          SELECT v.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_reduce(list_transform(range(1, 65), i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
+          FROM v CROSS JOIN c),
+        asg AS (SELECT vec_id, cid FROM d WHERE rn = 1)
+        SELECT x.cid AS cluster_id, x.vec_id AS a_id, y.vec_id AS b_id,
+               list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (x2, y2) -> x2 + y2)
+                 / nullif(sqrt(list_reduce(list_transform(va.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
+                          * sqrt(list_reduce(list_transform(vb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) AS cosine
+        FROM asg x
+        JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN v va ON va.vec_id = x.vec_id
+        JOIN v vb ON vb.vec_id = y.vec_id
+        WHERE list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (x2, y2) -> x2 + y2)
+                / nullif(sqrt(list_reduce(list_transform(va.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
+                         * sqrt(list_reduce(list_transform(vb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) >= 0.4""")),
 
     // IVF assignment: nearest of 8 centroid vectors (vec_id < 8), broadcast
     // argmin — the partition-pruning scale path for ANN.

@@ -124,6 +124,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byAxis.flatten.toSet.size === 3) // and the clusters are distinct
   }
 
+  test("kmeansFit: lineage is checkpointed, so deep iteration stays flat") {
+    val data = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f)
+      base(axis) = 1.0f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val trained = Similarity.kmeansFit(data, "vec_id", "embedding", k = 3, iters = 15)
+    assert(trained.count() === 3)
+    // the returned plan must not carry 15 iterations of joins: the
+    // checkpoint truncates lineage to a materialized leaf
+    val planLines = trained.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines <= 5, s"expected a truncated plan, got $planLines lines")
+    assert((System.nanoTime() - t0) / 1e9 < 120.0)
+  }
+
+  test("ivfNearDupPairs: exact cosine within clusters, full recall on clustered data") {
+    import graft.functions.VectorFns
+    // three axis-aligned clusters of four near-identical vectors each
+    val data = (0 until 12).map { i =>
+      val axis = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f)
+      base(axis) = 1.0f
+      base((axis + 1) % 3) = (i / 3) * 0.02f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f))).toDF("centroid_id", "embedding")
+    val pairs = Similarity.ivfNearDupPairs(
+      data, centroids, "vec_id", "embedding", "centroid_id", threshold = 0.99)
+    // all-pairs baseline (the quadratic form this operator replaces)
+    val a = data.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val b = data.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    val allPairs = a.crossJoin(b).filter($"a_id" < $"b_id")
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.toDouble($"ea"), VectorFns.toDouble($"eb")))
+      .filter($"cos" >= 0.99)
+    // near-dups co-cluster here, so IVF blocking loses nothing (recall 1.0)
+    assert(pairs.count() === allPairs.count())
+    assert(pairs.count() === 3L * 6L) // C(4,2) per axis cluster
+    assert(pairs.filter($"cosine" < 0.99).count() === 0)
+  }
+
   test("signLshBucket is stable and within [0, 2^nBits)") {
     val b1 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()
     val b2 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()

@@ -26,6 +26,38 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(got === Set(("k1", 1), ("k2", 2), ("k3", 3)))
   }
 
+  test("idempotentAppendPartitioned: redelivery dropped AND the guard scan partition-prunes") {
+    val dir = Files.createTempDirectory("graft_ingest_part").toString + "/t"
+    def batch(rows: (String, Int, String)*) =
+      rows.toSeq.toDF("k", "v", "ts0")
+        .select($"k", $"v", $"ts0".cast("timestamp").as("load_ts"))
+    // days 1..20 of history
+    val history = batch((1 to 20).map(d => (f"k$d", d, f"2024-01-$d%02d 10:00:00")): _*)
+    IncrementalIngest.idempotentAppendPartitioned(history, dir, Seq("k"), "load_ts")
+    // a recent batch: one redelivered key (same original ts) + one new
+    val recent = batch(("k20", 20, "2024-01-20 10:00:00"), ("k21", 21, "2024-01-21 10:00:00"))
+    val pending = IncrementalIngest.pendingRows(recent, dir, Seq("k"), "load_ts")
+
+    // the guard scan carries a load_date partition filter and reads only
+    // the redelivery window's partitions (>= 2024-01-20), not all history
+    val plan = pending.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("load_date"),
+      s"expected load_date partition filter in:\n$plan")
+    val scans = pending.queryExecution.executedPlan.collectLeaves()
+      .filter(_.toString.contains(dir.replace("\\", "/")))
+    assert(pending.select("k").as[String].collect().toSeq === Seq("k21"))
+    assert(scans.nonEmpty && scans.forall(_.metrics.get("numFiles").forall(_.value <= 2)),
+      s"expected <=2 target files scanned, got ${scans.map(_.metrics.get("numFiles").map(_.value))}")
+
+    // end-to-end: appending the batch twice leaves one k21 row
+    IncrementalIngest.idempotentAppendPartitioned(recent, dir, Seq("k"), "load_ts")
+    IncrementalIngest.idempotentAppendPartitioned(recent, dir, Seq("k"), "load_ts")
+    val got = TestSpark.spark.read.parquet(dir)
+    assert(got.count() === 21)
+    assert(got.filter($"k" === "k21").count() === 1)
+    assert(got.filter($"k" === "k20").count() === 1)
+  }
+
   test("startIngest drives the idempotent sink through a real streaming query") {
     implicit val sqlCtx = TestSpark.spark.sqlContext
     val dir = Files.createTempDirectory("graft_stream").toString
