@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen expressions for the dense-vector hot loops.
+  *
+  * The higher-order-function forms (`aggregate(zip_with(...))`) evaluate
+  * through interpreted lambda plumbing and block whole-stage codegen for
+  * the enclosing operator — acceptable once per row, but the similarity
+  * joins evaluate a dot product once per CANDIDATE PAIR. These expressions
+  * compile to a tight scalar loop inside the generated code.
+  *
+  * Determinism contract: the accumulation is the same sequential
+  * left-to-right fold as `functions.aggregate`, so results are
+  * bit-identical to the HOF form (and to a SQL oracle's `list_reduce`) —
+  * swapping them in cannot change any oracle-checked value.
+  *
+  * Inputs: equal-length `array<float>` or `array<double>` (each side may
+  * differ); null if either side is null; elements are assumed non-null
+  * (dense embeddings).
+  */
+private[functions] trait VectorLoop { self: BinaryExpression =>
+
+  override def dataType: DataType = DoubleType
+
+  protected def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected def get(arr: ArrayData, i: Int, float: Boolean): Double =
+    if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def genGet(arr: String, i: String, float: Boolean): String =
+    if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** Sequential-fold dot product: sum_i a(i)*b(i). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VectorLoop {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(x, i, lf) * get(y, i, rf); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += ${genGet(a, i, isFloat(left))} * ${genGet(b, i, isFloat(right))};
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sequential-fold squared euclidean distance: sum_i (a(i)-b(i))^2. */
+case class DistanceSq(left: Expression, right: Expression)
+    extends BinaryExpression with VectorLoop {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(x, i, lf) - get(y, i, rf)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${genGet(a, i, isFloat(left))} - ${genGet(b, i, isFloat(right))};
+         |  ${ev.value} += $d * $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column API: codegen'd dot product over float/double arrays. */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: codegen'd squared euclidean distance. */
+  def distSq(a: Column, b: Column): Column =
+    Bridge.column(DistanceSq(Bridge.expression(a), Bridge.expression(b)))
+}

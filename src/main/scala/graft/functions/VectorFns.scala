@@ -4,13 +4,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector column math over `array<float>` / `array<double>` embedding
-  * columns, built from Spark's higher-order array functions (`zip_with`,
-  * `aggregate`, `transform`) — codegen'd expressions, no UDFs, no MLlib
-  * dependency.
+  * columns — no UDFs, no MLlib dependency. The per-pair hot loops (dot,
+  * distSq) are native codegen Catalyst expressions (`VectorExprs`): the
+  * higher-order-function forms would block whole-stage codegen in the
+  * similarity joins, where these evaluate once per candidate PAIR.
   *
-  * Determinism note: `aggregate` is a *sequential* left fold over array
-  * elements, so double summation order is fixed — identical results on every
-  * run and partition layout (unlike row-wise `sum()` over doubles).
+  * Determinism note: accumulation is a *sequential* left fold over array
+  * elements (same order as `functions.aggregate` and a SQL engine's
+  * `list_reduce`), so double results are bit-identical across run,
+  * partition layout, and the HOF/codegen implementations.
   */
 object VectorFns {
 
@@ -18,8 +20,7 @@ object VectorFns {
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Dot product of two equal-length numeric arrays → double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
@@ -32,6 +33,5 @@ object VectorFns {
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Squared euclidean distance (avoids the sqrt when only ranking). */
-  def distSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  def distSq(a: Column, b: Column): Column = VectorExprs.distSq(a, b)
 }

@@ -163,9 +163,9 @@ object Similarity {
   def signLshBucket(vecCol: Column, dims: Int, nBits: Int): Column = {
     val bitOf = (p: Int) => {
       val plane = typedLit((0 until dims).map(i => planeComponent(p, i)))
-      val d = aggregate(
-        zip_with(vecCol, plane, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
+      // codegen'd sequential fold — same accumulation order as the
+      // aggregate/zip_with form, so bucket values are unchanged
+      val d = graft.functions.VectorExprs.dot(vecCol, plane)
       when(d >= 0, lit(1L)).otherwise(lit(0L))
     }
     (0 until nBits).map(p => bitOf(p) * lit(1L << p)).reduce(_ + _)

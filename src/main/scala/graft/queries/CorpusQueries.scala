@@ -322,6 +322,68 @@ object CorpusQueries {
           GROUP BY 1)
         SELECT bucket, count(*) AS n_vectors FROM buckets GROUP BY 1""")),
 
+    // Deterministic hash-split sampling: stable train/valid/test assignment
+    // from md5(doc_id) — the reproducible-holdout primitive every training
+    // pipeline needs (same row -> same split on any engine, any run, any
+    // partitioning; no rand()). Map-only at any scale.
+    Q("q_hash_sample",
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          pmod(bucket, lit(100L)).as("pct_bucket"),
+          when(pmod(bucket, lit(100L)) < 80, "train")
+            .when(pmod(bucket, lit(100L)) < 90, "valid")
+            .otherwise("test").as("split"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 100 AS pct_bucket
+          FROM documents)
+        SELECT doc_id, pct_bucket,
+               CASE WHEN pct_bucket < 80 THEN 'train'
+                    WHEN pct_bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b""")),
+
+    // PII scrub: mask emails and phone-shaped tokens before a corpus ships
+    // to training. The fixture injects deterministic PII per doc so the
+    // masking is actually exercised; patterns are RE2-and-Java-regex-safe
+    // so the oracle replays them.
+    Q("q_pii_scrub",
+      (s, dir) => {
+        val withPii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "555-[0-9]{4}"
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_count(withPii, lit(emailRe)).as("n_emails"),
+          regexp_count(withPii, lit(phoneRe)).as("n_phones"),
+          regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("scrubbed"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS with_pii
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(with_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(with_pii, '555-[0-9]{4}')) AS n_phones,
+               regexp_replace(regexp_replace(with_pii,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM p""")),
+
     // Multimodal plumbing: binary media column -> batched per-partition
     // feature extraction (decode step stubbed; schema/batching real).
     Q("q_media_features",

@@ -71,7 +71,10 @@ object ServiceQueries {
         ORDER BY c_custkey LIMIT 10""")),
 
     // DQ summary: the dbt-test-corpus equivalent — generic + singular
-    // checks, one row per check with its violation count.
+    // checks, one row per check with its violation count. Row-predicate
+    // checks sharing a table fuse into ONE conditional-count scan
+    // (Checks.fusedInvariants): 10 checks over 4 tables = 4 scans + the 3
+    // join-shaped checks, not 10 independent jobs.
     Q("q_dq_summary",
       (s, dir) => {
         val cust = t(s, dir, "customer")
@@ -79,21 +82,22 @@ object ServiceQueries {
         val li = t(s, dir, "lineitem")
         val events = t(s, dir, "events")
         Checks.summary(Seq(
-          "customer_key_not_null" -> Checks.notNull(cust, Seq("c_custkey")),
           "customer_key_unique" -> Checks.unique(cust, Seq("c_custkey")),
           "orders_customer_fk" -> Checks.relationships(orders, "o_custkey", cust, "c_custkey"),
-          "lineitem_grain_unique" -> Checks.unique(li, Seq("l_orderkey", "l_linenumber")),
-          "event_type_domain" -> Checks.acceptedValues(events, "event_type",
-            Seq("click", "error", "purchase", "signup", "view")),
-          "quantity_positive" -> Checks.invariant(li, col("l_quantity") > 0),
-          "discount_in_range" -> Checks.invariant(li,
-            col("l_discount") >= 0 && col("l_discount") <= 0.1),
-          "tax_in_range" -> Checks.invariant(li,
-            col("l_tax") >= 0 && col("l_tax") <= 0.08),
-          "order_date_not_future" -> Checks.invariant(orders,
-            col("o_orderdate") <= lit("2025-01-01").cast("timestamp_ntz")),
-          "props_valid_json" -> Checks.invariant(events,
-            get_json_object(col("props"), "$.k").isNotNull)))
+          "lineitem_grain_unique" -> Checks.unique(li, Seq("l_orderkey", "l_linenumber"))))
+          .unionByName(Checks.fusedInvariants(cust, Seq(
+            "customer_key_not_null" -> col("c_custkey").isNotNull)))
+          .unionByName(Checks.fusedInvariants(orders, Seq(
+            "order_date_not_future" ->
+              (col("o_orderdate") <= lit("2025-01-01").cast("timestamp_ntz")))))
+          .unionByName(Checks.fusedInvariants(li, Seq(
+            "quantity_positive" -> (col("l_quantity") > 0),
+            "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+            "tax_in_range" -> (col("l_tax") >= 0 && col("l_tax") <= 0.08))))
+          .unionByName(Checks.fusedInvariants(events, Seq(
+            "event_type_domain" -> (col("event_type").isNull ||
+              col("event_type").isin("click", "error", "purchase", "signup", "view")),
+            "props_valid_json" -> get_json_object(col("props"), "$.k").isNotNull)))
       },
       Some("""
         SELECT 'customer_key_not_null' AS check_name,

@@ -118,6 +118,28 @@ class TextFnsSpec extends AnyFunSuite {
 class VectorFnsSpec extends AnyFunSuite {
   import TestSpark.spark.implicits._
 
+  test("codegen dot/distSq are bit-identical to the sequential HOF fold") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { _ =>
+      (Seq.fill(64)(rnd.nextFloat()), Seq.fill(64)(rnd.nextDouble()))
+    }
+    val df = rows.toDF("f", "d")
+    val hofDot = aggregate(
+      zip_with($"f", $"d", (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    val hofDist = aggregate(
+      zip_with($"f", $"d", (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = df.select(
+      VectorFns.dot($"f", $"d").as("cg_dot"), hofDot.as("hof_dot"),
+      VectorFns.distSq($"f", $"d").as("cg_dist"), hofDist.as("hof_dist"))
+      .filter($"cg_dot" =!= $"hof_dot" || $"cg_dist" =!= $"hof_dist")
+    assert(diff.count() === 0) // exact ==, not a tolerance
+    // null propagation
+    val nulls = Seq((Option.empty[Seq[Double]], Some(Seq(1.0)))).toDF("a", "b")
+      .select(VectorFns.dot($"a", $"b"))
+    assert(nulls.collect().head.isNullAt(0))
+  }
+
   test("dot, norm, cosine, distSq on known vectors") {
     val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 4.0, 4.0), Seq(0.0, 0.0, 0.0)))
       .toDF("a", "b", "z")

@@ -71,6 +71,30 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(got === Set(("a", 1), ("b", 2)))
   }
 
+  test("stream-stream interval join correlates two live MemoryStreams") {
+    import graft.streaming.StreamingJoins
+    implicit val sqlCtx = TestSpark.spark.sqlContext
+    val clicks = MemoryStream[(String, String)]
+    val errors = MemoryStream[(String, String)]
+    val joined = StreamingJoins.intervalJoin(
+      clicks.toDF().select($"_1".as("c_user"), $"_2".cast("timestamp").as("c_ts")),
+      "c_ts", "10 seconds",
+      errors.toDF().select($"_1".as("e_user"), $"_2".cast("timestamp").as("e_ts")),
+      "e_ts", "10 seconds",
+      (col("c_user"), col("e_user")), "1 HOUR")
+    errors.addData(("u1", "2024-01-01 10:00:00"), ("u2", "2024-01-01 10:00:00"))
+    clicks.addData(
+      ("u1", "2024-01-01 10:30:00"),  // inside [e_ts, e_ts+1h] -> match
+      ("u1", "2024-01-01 11:30:00"),  // outside interval -> no match
+      ("u3", "2024-01-01 10:15:00"))  // no error for u3 -> no match
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = TestSpark.spark.sql("SELECT c_user, c_ts FROM sj_out")
+      .as[(String, java.sql.Timestamp)].collect().toSeq
+    assert(got === Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))))
+  }
+
   test("windowedCounts aggregates into tumbling windows (batch-mode check)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
