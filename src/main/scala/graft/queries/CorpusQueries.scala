@@ -180,6 +180,18 @@ object CorpusQueries {
         WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                 / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5""")),
 
+    // The Xx64 MinHash family — the 100 TB headline path (one xxhash64 per
+    // shingle instead of an md5, ~10x cheaper): same banding/verify
+    // pipeline, same output pairs (verification is exact Jaccard either
+    // way). No SQL oracle (xxhash64 is engine-local) -> rows-only check;
+    // cross-family agreement is asserted in LshRecallSpec.
+    Q("q_minhash_xx64_pairs",
+      (s, dir) => TextDedup.minhashDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5,
+        family = TextDedup.Xx64),
+      None),
+
     // SimHash fingerprints + Hamming-distance near-dup pairs within a
     // language block.
     Q("q_simhash_pairs",

@@ -37,4 +37,16 @@ class LshRecallSpec extends AnyFunSuite {
     assert(certain.subsetOf(lsh),
       s"missed near-identical pairs: ${certain.diff(lsh).mkString(", ")}")
   }
+
+  test("hash families agree: md5 and xx64 pipelines find the same certain pairs") {
+    val md5Pairs = TextDedup.minhashDupPairs(
+      docs, "doc_id", "text", shingleWords = 2, bands = 4, rowsPerBand = 3,
+      threshold = 0.5, family = TextDedup.HexMd5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // both families exact-Jaccard-verify, so precision is 1.0 for each;
+    // on the near-identical tier recall is 1.0 for both -> sets agree
+    val certain = truth.filter(_._3 >= 0.95).map(t => (t._1, t._2)).toSet
+    assert(certain.subsetOf(md5Pairs))
+    assert(md5Pairs.subsetOf(truth.map(t => (t._1, t._2)).toSet))
+  }
 }
