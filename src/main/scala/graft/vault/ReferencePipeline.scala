@@ -89,26 +89,29 @@ object ReferencePipeline {
       .join(latestProfile.select(col("customer_id"), col("customer_tier"), col("risk_tolerance")),
         Seq("customer_id"), "left")
 
-    // ---- quality (reference tests/)
+    // ---- quality (reference tests/) — the four row-predicate checks on
+    // rawTransactions fuse into ONE scan (Checks.fusedInvariants); the
+    // join/window-shaped checks keep their own shuffles
+    val acceptedValuesPred = (c: String, allowed: Seq[String]) =>
+      col(c).isNull || col(c).isin(allowed: _*)
     val qualitySummary = Checks.summary(Seq(
       "customer_id_not_null" -> Checks.notNull(rawCustomers, Seq("customer_id")),
       "transaction_id_unique" -> Checks.unique(rawTransactions, Seq("transaction_id")),
       "transactions_have_customer" ->
         Checks.relationships(rawTransactions, "customer_id", rawCustomers, "customer_id"),
-      "transaction_type_valid" ->
-        Checks.acceptedValues(rawTransactions, "transaction_type", Seq("BUY", "SELL")),
-      "tier_valid" -> Checks.acceptedValues(rawTransactions, "customer_tier",
-        Seq("BRONZE", "SILVER", "GOLD", "PLATINUM")),
-      "fee_reasonable" -> Checks.invariant(rawTransactions,
-        col("fee_amount") >= 0 && col("fee_amount") <= least(
-          col("transaction_amount"), col("transaction_amount") * 0.1)),
-      "amount_consistent" -> Checks.invariant(rawTransactions,
-        abs(col("transaction_amount") - round(col("quantity") * col("price_per_unit"), 2)) < 0.01),
       "scd2_no_overlaps" -> Checks.invariant(
         dimCustomerHistory.withColumn("__next_from",
           lead(col("effective_from"), 1).over(
             Window.partitionBy(col("customer_id")).orderBy(col("effective_from")))),
         col("__next_from").isNull || col("effective_to") <= col("__next_from"))))
+      .unionByName(Checks.fusedInvariants(rawTransactions, Seq(
+        "transaction_type_valid" -> acceptedValuesPred("transaction_type", Seq("BUY", "SELL")),
+        "tier_valid" -> acceptedValuesPred("customer_tier",
+          Seq("BRONZE", "SILVER", "GOLD", "PLATINUM")),
+        "fee_reasonable" -> (col("fee_amount") >= 0 && col("fee_amount") <= least(
+          col("transaction_amount"), col("transaction_amount") * 0.1)),
+        "amount_consistent" ->
+          (abs(col("transaction_amount") - round(col("quantity") * col("price_per_unit"), 2)) < 0.01))))
 
     Outputs(rawCustomers, rawTransactions, hubCustomer, hubTransaction,
       linkCustomerTransaction, satTransaction, fctTransactions,
