@@ -37,21 +37,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Attach `__best` = struct(d = squared distance, cid) of the nearest
+    * centroid to every row — TRULY map-only: the centroid table collapses
+    * to ONE sorted array row (k tiny rows → 1), broadcast, and the argmin
+    * is a sequential fold over that array per input row. No per-row
+    * shuffle, no window (the previous crossJoin + row_number form
+    * re-shuffled the full dataset on the row id just to pick a minimum).
+    * Ties break to the smallest centroid id: the array is sorted by cid
+    * and the fold keeps the incumbent unless strictly closer.
+    */
+  private def withNearest(embeddings: DataFrame, centroids: DataFrame,
+      vecCol: String, centroidIdCol: String): DataFrame = {
+    val cArr = broadcast(centroids
+      .select(struct(col(centroidIdCol).cast("long").as("cid"),
+        toDouble(col(vecCol)).as("cv")).as("__c"))
+      .agg(array_sort(collect_list(col("__c"))).as("__cs")))
+    val best = aggregate(
+      col("__cs"),
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d = graft.functions.VectorExprs.distSq(col("__vd"), c.getField("cv"))
+        when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
+    embeddings
+      .crossJoin(cArr)
+      .withColumn("__vd", toDouble(col(vecCol)))
+      .withColumn("__best", best)
+      .drop("__cs", "__vd")
+  }
+
   /** Assign each vector to its nearest centroid (argmin squared distance,
-    * ties → smallest centroid id). Broadcast join: map-only at any scale.
+    * ties → smallest centroid id). Map-only at any scale: broadcast
+    * centroid array + per-row fold (see `withNearest`).
     */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
-      centroidIdCol: String): DataFrame = {
-    val c = broadcast(centroids.select(
-      col(centroidIdCol).as("__cid"), toDouble(col(vecCol)).as("__cvec")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("__cid"))
-    embeddings
-      .crossJoin(c)
-      .withColumn("__d", distSq(toDouble(col(vecCol)), col("__cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(embeddings.columns.map(col) :+ col("__cid").as("cluster_id"): _*)
-  }
+      centroidIdCol: String): DataFrame =
+    withNearest(embeddings, centroids, vecCol, centroidIdCol)
+      .select(embeddings.columns.map(col) :+ col("__best.cid").as("cluster_id"): _*)
 
   /** Lloyd's k-means over an embedding column — trains the IVF centroid
     * table. Deterministic: initialized from the k lowest-id vectors, and
@@ -122,18 +145,11 @@ object Similarity {
   }
 
   /** Sum of squared distances to the assigned centroid — the k-means
-    * objective, for convergence checks.
+    * objective, for convergence checks (deliberate driver-side scalar).
     */
-  def inertia(embeddings: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): Double = {
-    val c = broadcast(centroids.select(col("centroid_id").as("__cid"), toDouble(col(vecCol)).as("__cvec")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("__cid"))
-    embeddings
-      .crossJoin(c)
-      .withColumn("__d", distSq(toDouble(col(vecCol)), col("__cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .agg(sum(col("__d"))).head().getDouble(0)
-  }
+  def inertia(embeddings: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): Double =
+    withNearest(embeddings, centroids, vecCol, "centroid_id")
+      .agg(sum(col("__best.d"))).head().getDouble(0)
 
   /** Top-k within the clusters selected by `clusterPred` (e.g. the query
     * vector's own cluster, or several for multi-probe).

@@ -8,6 +8,33 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Bucketing
 import graft.operators.SkewJoin
 
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  test("ivfAssign never shuffles the data: argmin is a broadcast array fold") {
+    val vecs = (0L until 100L).map(i => (i, Seq.fill(8)((i % 7).toFloat))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id" < 4).withColumnRenamed("vec_id", "centroid_id")
+    val assigned = graft.operators.Similarity.ivfAssign(
+      vecs, centroids, "vec_id", "embedding", "centroid_id")
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the data side must not be hash-repartitioned (the old window-argmin
+    // form shuffled everything on vec_id); only the k-row centroid
+    // collapse + its broadcast may exchange
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"embeddings were shuffled for the argmin:\n$plan")
+    assert(!plan.contains("Window"), s"window in the assign path:\n$plan")
+  }
+
+  test("deterministic hash sampling is map-only (zero exchanges)") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("__hs_docs")
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("bigint")
+    val sampled = docs.select($"doc_id", pmod(bucket, lit(100L)).as("pct_bucket"))
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling should not shuffle:\n$plan")
+  }
+}
+
 class BucketingSpec extends AnyFunSuite {
   import TestSpark.spark.implicits._
 
