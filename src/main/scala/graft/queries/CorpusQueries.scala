@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Similarity, TextDedup}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Similarity, TextDedup}
 import Q.t
 
 /** Training-data pipeline queries over the `documents` / `embeddings`
@@ -20,6 +20,42 @@ import Q.t
   * compared value-exact, not approximately.
   */
 object CorpusQueries {
+
+  /** Language-blocked SimHash near-dup pairs — shared by the pair query
+    * and the dedup-group (connected-components) query. The whole pair
+    * predicate sits inside the join condition so non-matching pairs of the
+    * O(block²) loop never materialize as output rows.
+    */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val fp = TextDedup.simhashFingerprints(
+      t(s, dir, "documents"), "doc_id", Seq("lang"), TextFns.tokens(col("text")))
+    val a = fp.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("__ha"))
+    val b = fp.select(col("lang").as("lang2"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
+    a.join(b, col("lang") === col("lang2") && col("a_id") < col("b_id") &&
+        TextDedup.hammingDistance(col("__ha"), col("__hb")) <= 2)
+      .withColumn("hamming", TextDedup.hammingDistance(col("__ha"), col("__hb")))
+  }
+
+  /** The q_simhash_pairs oracle CTE chain, reused as the edge list of the
+    * dedup-group oracle.
+    */
+  private val SimhashEdgesSql = """
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+        bits AS (
+          SELECT doc_id, lang, j,
+                 sum(((CAST(floor((strpos('0123456789abcdef', substr(md5(tk), 1 + (j // 4), 1)) - 1)
+                                  / 2^(3 - (j % 4))) AS INT) % 2) * 2 - 1)) AS s
+          FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+          GROUP BY 1, 2, 3),
+        fp AS (
+          SELECT doc_id, lang,
+                 CAST(sum(CASE WHEN s >= 0 THEN CAST(2^j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1, 2),
+        e AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)"""
 
   val all: Seq[Q] = Seq(
 
@@ -195,18 +231,7 @@ object CorpusQueries {
     // SimHash fingerprints + Hamming-distance near-dup pairs within a
     // language block.
     Q("q_simhash_pairs",
-      (s, dir) => {
-        val fp = TextDedup.simhashFingerprints(
-          t(s, dir, "documents"), "doc_id", Seq("lang"), TextFns.tokens(col("text")))
-        val a = fp.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("__ha"))
-        val b = fp.select(col("lang").as("lang2"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
-        // whole pair predicate inside the join condition: non-matching
-        // pairs of the O(block²) loop never materialize as output rows
-        a.join(b, col("lang") === col("lang2") && col("a_id") < col("b_id") &&
-            TextDedup.hammingDistance(col("__ha"), col("__hb")) <= 2)
-          .withColumn("hamming", TextDedup.hammingDistance(col("__ha"), col("__hb")))
-          .select(col("a_id"), col("b_id"), col("hamming"))
-      },
+      (s, dir) => simhashPairs(s, dir).select(col("a_id"), col("b_id"), col("hamming")),
       Some("""
         WITH toks AS (
           SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
@@ -224,6 +249,29 @@ object CorpusQueries {
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""")),
+
+    // Dedup GROUPS from near-dup pairs: 3-round min-label connected
+    // components over the simhash pair graph — transitive duplicates
+    // (A~B~C without an (A,C) pair) collapse to one canonical (minimum)
+    // doc id. One shuffle per round, |V|-row state, fixed rounds so the
+    // oracle replays the propagation exactly; fixpoint-vs-diameter
+    // semantics in ConnectedComponentsSpec.
+    Q("q_dedup_groups",
+      (s, dir) => ConnectedComponents.dedupGroups(
+        simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id", rounds = 3),
+      Some(s"""$SimhashEdgesSql,
+        und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
+        l0 AS (SELECT DISTINCT x AS v, x AS label FROM und),
+        l1 AS (SELECT v, min(label) AS label FROM (
+                 SELECT v, label FROM l0
+                 UNION ALL SELECT u.x, l.label FROM und u JOIN l0 l ON u.y = l.v) GROUP BY v),
+        l2 AS (SELECT v, min(label) AS label FROM (
+                 SELECT v, label FROM l1
+                 UNION ALL SELECT u.x, l.label FROM und u JOIN l1 l ON u.y = l.v) GROUP BY v),
+        l3 AS (SELECT v, min(label) AS label FROM (
+                 SELECT v, label FROM l2
+                 UNION ALL SELECT u.x, l.label FROM und u JOIN l2 l ON u.y = l.v) GROUP BY v)
+        SELECT v AS member_id, label AS group_id, v = label AS is_canonical FROM l3""")),
 
     // Brute-force cosine top-k against a query vector (exact ANN baseline).
     Q("q_cosine_topk",
