@@ -186,6 +186,24 @@ object AnalyticsQueries {
     // Sketch aggregates (HLL++ distinct count, approximate quantiles) —
     // engine-specific estimators, so driver does the rows-only check; the
     // accuracy contract lives in AnalyticsSpec.
+    // Sketch PRE-AGGREGATION + MERGE (Apache DataSketches HLL, built into
+    // Spark): per-day sketches of distinct users merge into per-type
+    // totals WITHOUT re-touching raw rows — the re-aggregatable-rollup
+    // pattern that replaces countDistinct at 100 TB (a stored daily
+    // sketch table answers any date-range distinct query by union).
+    // Engine-local binary sketches -> rows-only check; the merge-vs-exact
+    // accuracy contract lives in ApproxSpec.
+    Q("q_hll_rollup",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(expr("hll_sketch_agg(user_id)").as("daily_sketch"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(daily_sketch))")
+            .cast("bigint").as("approx_distinct_users")),
+      None),
+
     Q("q_approx_stats",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -25,4 +25,17 @@ class ApproxSpec extends AnyFunSuite {
       .as[(Double, Double)].head()
     assert(math.abs(r._2 - r._1) / r._1 < 0.02, s"exact=${r._1} approx=${r._2}")
   }
+
+  test("merged daily HLL sketches estimate within 3% of the exact distinct") {
+    val events = queries.Q.t(TestSpark.spark, "/root/testdata/sf0.01", "events")
+    val merged = events
+      .groupBy(to_date($"ts").as("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx"))
+      .as[Long].head()
+    val exact = events.select(countDistinct($"user_id")).as[Long].head()
+    // the merge path (never re-reading raw rows) must agree with exact
+    assert(math.abs(merged - exact).toDouble / exact < 0.03,
+      s"exact=$exact merged-sketch=$merged")
+  }
 }
