@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, RangeJoin}
-import Q.{dec2, t}
+import graft.operators.{AsofJoin, Dedup, RangeJoin, SkewJoin}
+import Q.{dec2, moneySum, t}
 
 /** Time-series / analytical operators beyond the reference's surface:
   * as-of join, bucketized range join, window frames (moving aggregates),
@@ -186,6 +186,25 @@ object AnalyticsQueries {
     // Sketch aggregates (HLL++ distinct count, approximate quantiles) —
     // engine-specific estimators, so driver does the rows-only check; the
     // accuracy contract lives in AnalyticsSpec.
+    // Salted skew join: each (hot) lineitem key spreads over 8 salt tasks,
+    // the small side replicates 8-fold — SAME result as the plain join
+    // (which is exactly what the oracle computes), straggler-free under
+    // single-hot-key skew that AQE's partition splitting can't fix.
+    Q("q_skew_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").withColumnRenamed("l_partkey", "pk")
+        val part = t(s, dir, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand"))
+        SkewJoin.saltedJoin(li, part, Seq("pk"), 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), moneySum(col("l_extendedprice")).as("total"))
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")),
+
     // Sketch PRE-AGGREGATION + MERGE (Apache DataSketches HLL, built into
     // Spark): per-day sketches of distinct users merge into per-type
     // totals WITHOUT re-touching raw rows — the re-aggregatable-rollup
