@@ -186,6 +186,46 @@ object AnalyticsQueries {
     // Sketch aggregates (HLL++ distinct count, approximate quantiles) —
     // engine-specific estimators, so driver does the rows-only check; the
     // accuracy contract lives in AnalyticsSpec.
+    // Bucketed co-located join: both sides pre-shuffled into the same
+    // bucket layout at write time, so the join itself plans with ZERO
+    // exchange (asserted in BucketingSpec) — pay the partitioning once,
+    // amortize over every downstream join. The oracle computes the plain
+    // join; bucketing must not change a single value.
+    Q("q_bucketed_join",
+      (s, dir) => {
+        graft.core.Bucketing.writeBucketed(
+          t(s, dir, "orders").withColumnRenamed("o_custkey", "ck"), "bq_orders", "ck", 8)
+        graft.core.Bucketing.writeBucketed(
+          t(s, dir, "customer").select(col("c_custkey").as("ck"), col("c_mktsegment")),
+          "bq_customer", "ck", 8)
+        graft.core.Bucketing.bucketJoin(s, "bq_orders", "bq_customer", "ck")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
+    // Date-partitioned watermark scan: the incremental read path over a
+    // partition-pruned table (PartitionFilters asserted in
+    // TablePersistSpec); the oracle replays the same strict > predicate.
+    Q("q_partitioned_watermark",
+      (s, dir) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_pw").toString + "/t"
+        graft.core.TablePersist.appendPartitioned(
+          t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+          path, "ts")
+        val wm = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+        graft.core.TablePersist.aboveWatermarkPruned(
+          graft.core.TablePersist.readPartitioned(s, path), "ts", wm)
+          .select(col("event_id"), col("user_id"), col("ts"))
+      },
+      Some("""
+        SELECT event_id, user_id, ts FROM events
+        WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""")),
+
     // Salted skew join: each (hot) lineitem key spreads over 8 salt tasks,
     // the small side replicates 8-fold — SAME result as the plain join
     // (which is exactly what the oracle computes), straggler-free under
