@@ -193,6 +193,14 @@ object AnalyticsQueries {
     // join; bucketing must not change a single value.
     Q("q_bucketed_join",
       (s, dir) => {
+        // the in-memory catalog forgets tables across sessions while the
+        // warehouse directory persists — drop both before (re)writing
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        Seq("bq_orders", "bq_customer").foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
         graft.core.Bucketing.writeBucketed(
           t(s, dir, "orders").withColumnRenamed("o_custkey", "ck"), "bq_orders", "ck", 8)
         graft.core.Bucketing.writeBucketed(

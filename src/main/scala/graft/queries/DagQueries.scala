@@ -34,6 +34,7 @@ import Q.{dec2, t}
 object DagQueries {
 
   private val loadTsLit = "2024-01-31 20:00:00"
+  private val laterLoadTsLit = "2024-02-01 20:00:00"
   private def loadTs = lit(loadTsLit).cast("timestamp_ntz")
 
   private def tier3(c: org.apache.spark.sql.Column) =
@@ -62,6 +63,25 @@ object DagQueries {
       lit(null).cast("string").as("company_id"),
       loadTs.as("load_timestamp"),
       lit("BATCH_DATA").as("source"))
+
+    // every 4th customer got a tier upgrade in a later load: real version
+    // history, so the SCD2 dim carries non-trivial intervals and the
+    // current-profile join must actually pick the LATEST version
+    val upgradedCustomers = cust
+      .filter(pmod(col("c_custkey"), lit(4)) === 0)
+      .select(
+        concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 8, "0")).as("customer_id"),
+        when(col("c_mktsegment") === "BUILDING", "SILVER")
+          .when(col("c_mktsegment") === "AUTOMOBILE", "GOLD")
+          .when(col("c_mktsegment") === "MACHINERY", "PLATINUM")
+          .when(col("c_mktsegment") === "HOUSEHOLD", "PLATINUM")
+          .otherwise("SILVER").as("customer_tier"),
+        tier3(pmod(col("c_nationkey"), lit(3))).as("risk_tolerance"),
+        concat(lit("AGE-"), pmod(col("c_custkey"), lit(5)).cast("string")).as("age_group"),
+        lit("PERSONAL").as("customer_type"),
+        lit(null).cast("string").as("company_id"),
+        lit(laterLoadTsLit).cast("timestamp_ntz").as("load_timestamp"),
+        lit("BATCH_DATA").as("source"))
 
     val companyId = concat(lit("COMP-"), lpad(col("s_suppkey").cast("string"), 6, "0"))
     val corporateCustomers = supp.select(
@@ -178,7 +198,8 @@ object DagQueries {
     Models.Raw(
       transactionPersonal = transactions.filter(col("customer_type") === "PERSONAL"),
       transactionCorporate = transactions.filter(col("customer_type") === "CORPORATE"),
-      customers = personalCustomers.unionByName(corporateCustomers),
+      customers = personalCustomers.unionByName(upgradedCustomers)
+        .unionByName(corporateCustomers),
       corporates = corporates,
       news = news,
       cryptoPrices = Map(
@@ -204,6 +225,15 @@ object DagQueries {
                   ELSE 'AGGRESSIVE' END AS risk_tolerance,
              TIMESTAMP '$loadTsLit' AS load_timestamp
       FROM customer
+      UNION ALL
+      SELECT 'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0'),
+             CASE c_mktsegment WHEN 'BUILDING' THEN 'SILVER' WHEN 'AUTOMOBILE' THEN 'GOLD'
+                  WHEN 'MACHINERY' THEN 'PLATINUM' WHEN 'HOUSEHOLD' THEN 'PLATINUM'
+                  ELSE 'SILVER' END,
+             CASE c_nationkey % 3 WHEN 0 THEN 'CONSERVATIVE' WHEN 1 THEN 'MODERATE'
+                  ELSE 'AGGRESSIVE' END,
+             TIMESTAMP '$laterLoadTsLit'
+      FROM customer WHERE c_custkey % 4 = 0
       UNION ALL
       SELECT 'COMP-' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0'),
              CASE s_suppkey % 4 WHEN 0 THEN 'BRONZE' WHEN 1 THEN 'SILVER'
@@ -395,8 +425,24 @@ object DagQueries {
         FROM kpis k
         LEFT JOIN (SELECT customer_id, customer_tier, risk_tolerance,
                           row_number() OVER (PARTITION BY customer_id
-                            ORDER BY load_timestamp) AS rn
+                            ORDER BY load_timestamp DESC) AS rn
                    FROM raw_customers) p
-          ON p.customer_id = k.customer_id AND p.rn = 1"""))
+          ON p.customer_id = k.customer_id AND p.rn = 1""")),
+
+    /** dim_customer_history.sql:28-77 — SCD2 version intervals over real
+      * multi-load profile history (every 4th customer has a tier upgrade
+      * in a later load), lead + 9999-12-31 sentinel, value-exact.
+      */
+    Q("q_dag_customer_history",
+      (s, dir) => models(s, dir).dimCustomerHistory,
+      Some(s"""$RawSql
+        SELECT md5(customer_id) AS customer_hk, customer_id,
+               customer_tier, risk_tolerance,
+               load_timestamp AS effective_from,
+               coalesce(lead(load_timestamp) OVER w,
+                        TIMESTAMP '9999-12-31 00:00:00') AS effective_to,
+               lead(load_timestamp) OVER w IS NULL AS is_current
+        FROM raw_customers
+        WINDOW w AS (PARTITION BY customer_id ORDER BY load_timestamp)"""))
   )
 }
