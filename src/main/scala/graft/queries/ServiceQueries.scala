@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.quality.Checks
-import graft.sources.Generator
+import graft.sources.{CsvSource, Generator}
 import graft.vault.DataVault
-import Q.t
+import Q.{dec2, t}
 
 /** Queries exercising the ad-hoc QueryService (reference chatbot tools
   * `scripts/chatbot/warehouse_tools.py:140-449`), the data-quality check
@@ -161,6 +161,32 @@ object ServiceQueries {
         SELECT CAST(user_id AS VARCHAR) AS entity_id FROM events
         UNION
         SELECT CAST(o_custkey AS VARCHAR) FROM orders""")),
+
+    // S12/S8 — permissive CSV load with TRY_TO_* semantics: a dirty CSV
+    // (unparseable ids every 10th row, junk money cells every 7th) is
+    // written with the ordered-header contract, then read back against a
+    // typed schema — bad CELLS become NULL, rows survive. The oracle reads
+    // the very same files with DuckDB's read_csv + TRY_CAST, so the
+    // cast-or-null semantics are verified value-exact.
+    Q("q_csv_permissive",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val path = "/tmp/graft_csv_fixture"
+        val dirty = t(s, dir, "customer").select(
+          when(pmod(col("c_custkey"), lit(10)) === 0,
+            concat(lit("X"), col("c_custkey").cast("string")))
+            .otherwise(col("c_custkey").cast("string")).as("ck"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit("bad"))
+            .otherwise(dec2(col("c_acctbal")).cast("string")).as("bal"),
+          col("c_mktsegment").as("seg"))
+        CsvSource.writeOrdered(dirty, Seq("ck", "bal", "seg"), path)
+        CsvSource.readPermissive(s, path, StructType(Seq(
+          StructField("ck", LongType), StructField("bal", DoubleType),
+          StructField("seg", StringType))))
+      },
+      Some("""
+        SELECT TRY_CAST(ck AS BIGINT) AS ck, TRY_CAST(bal AS DOUBLE) AS bal, seg
+        FROM read_csv('/tmp/graft_csv_fixture/*.csv', header=true, all_varchar=true)""")),
 
     // S7 — deterministic distributed synthetic generator (faker parity;
     // no SQL oracle: hash-derived values -> driver rows-only check, with

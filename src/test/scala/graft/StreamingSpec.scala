@@ -71,6 +71,28 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(got === Set(("a", 1), ("b", 2)))
   }
 
+  test("streaming dropDuplicatesWithinWatermark dedups redelivery with bounded state") {
+    implicit val sqlCtx = TestSpark.spark.sqlContext
+    val mem = MemoryStream[(String, String, Int)]
+    val deduped = mem.toDF().toDF("k", "ts0", "v")
+      .select($"k", $"ts0".cast("timestamp").as("ts"), $"v")
+      .withWatermark("ts", "10 minutes")
+      // state per key is evicted once the watermark passes ts + delay —
+      // unlike plain dropDuplicates, whose state grows with all history
+      .dropDuplicatesWithinWatermark("k")
+    mem.addData(
+      ("a", "2024-01-01 10:00:00", 1),
+      ("a", "2024-01-01 10:00:00", 1), // exact redelivery
+      ("a", "2024-01-01 10:01:00", 2), // same key inside the window -> dropped
+      ("b", "2024-01-01 10:00:00", 3))
+    val q = deduped.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = TestSpark.spark.sql("SELECT k, v FROM ddw_out")
+      .as[(String, Int)].collect().toSet
+    assert(got === Set(("a", 1), ("b", 3)))
+  }
+
   test("stream-stream interval join correlates two live MemoryStreams") {
     import graft.streaming.StreamingJoins
     implicit val sqlCtx = TestSpark.spark.sqlContext
