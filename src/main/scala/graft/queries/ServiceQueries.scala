@@ -171,7 +171,9 @@ object ServiceQueries {
     Q("q_csv_permissive",
       (s, dir) => {
         import org.apache.spark.sql.types._
-        val path = "/tmp/graft_csv_fixture"
+        // scale-suffixed path: a bench run at another SF must not clobber
+        // the fixture the sf0.01 oracle reads
+        val path = s"/tmp/graft_csv_fixture_${new java.io.File(dir).getName}"
         val dirty = t(s, dir, "customer").select(
           when(pmod(col("c_custkey"), lit(10)) === 0,
             concat(lit("X"), col("c_custkey").cast("string")))
@@ -186,7 +188,7 @@ object ServiceQueries {
       },
       Some("""
         SELECT TRY_CAST(ck AS BIGINT) AS ck, TRY_CAST(bal AS DOUBLE) AS bal, seg
-        FROM read_csv('/tmp/graft_csv_fixture/*.csv', header=true, all_varchar=true)""")),
+        FROM read_csv('/tmp/graft_csv_fixture_sf0.01/*.csv', header=true, all_varchar=true)""")),
 
     // S7 — deterministic distributed synthetic generator (faker parity;
     // no SQL oracle: hash-derived values -> driver rows-only check, with
