@@ -40,15 +40,17 @@ object TextFns {
   def bpeishTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles over a token array (distinct). Documents shorter
-    * than `n` tokens yield an empty set.
+  /** Word n-gram shingles over a token array (distinct, first-occurrence
+    * order). Documents shorter than `n` tokens — and null token arrays —
+    * yield an empty set. Backed by the codegen `WordShingles` expression
+    * (the interpreted HOF form dominated the MinHash signature stage);
+    * `TextExprsSpec` pins byte-equality against the HOF formulation.
     */
   def wordShingles(tokensCol: Column, n: Int): Column =
-    when(size(tokensCol) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(tokensCol) - lit(n - 1)),
-        i => concat_ws(" ", slice(tokensCol, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(
+      org.apache.spark.sql.graft.Bridge.column(
+        WordShingles(org.apache.spark.sql.graft.Bridge.expression(tokensCol), n)),
+      typedLit(Seq.empty[String]))
 
   /** Character n-gram shingles (distinct) — for n-gram Jaccard on short
     * strings. */

@@ -33,8 +33,12 @@ object ConnectedComponents {
     * distinct vertex; `label` = min id within `rounds` hops.
     */
   def minLabel(edges: DataFrame, aCol: String, bCol: String, rounds: Int): DataFrame = {
+    // materialize the (possibly expensive) pair-producing pipeline ONCE:
+    // every round joins against `und`, and without this each round would
+    // recompute the upstream near-dup detection from scratch
     val und = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
+      .localCheckpoint()
     var labels = und.select(col("x").as("v")).distinct()
       .withColumn("label", col("v"))
     for (_ <- 0 until rounds) {
