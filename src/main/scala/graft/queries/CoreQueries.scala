@@ -417,14 +417,23 @@ object CoreQueries {
                nullif(c_mktsegment, 'BUILDING') AS seg_or_null
         FROM customer""")),
 
-    // S4-analog — JSON field extraction from string payloads
-    // (reference kafka_consumer.py:203-207, a2_4 _extract_price_volume)
+    // S4-analog — JSON field extraction from string payloads, including
+    // the reference's candidate-path probing over unknown shapes
+    // (a2_4_crypto_freecryptoapi.py:48-132 recursively probes price/volume
+    // fields; here: coalesce over the candidate paths, first hit wins)
     Q("q_json_extract",
       (s, dir) => t(s, dir, "events").select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("prop_k")),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        coalesce(
+          get_json_object(col("props"), "$.price"),
+          get_json_object(col("props"), "$.data.price"),
+          get_json_object(col("props"), "$.k")).cast("int").as("probed")),
       Some("""
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               CAST(coalesce(json_extract_string(props, '$.price'),
+                             json_extract_string(props, '$.data.price'),
+                             json_extract_string(props, '$.k')) AS INT) AS probed
         FROM events""")),
 
     // Streaming-equivalent batch: hourly tumbling rollup (§2.10; the 5-min
