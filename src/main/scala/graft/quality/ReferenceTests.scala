@@ -106,6 +106,13 @@ object ReferenceTests {
       "hub_transaction_unique" -> Checks.unique(models.hubTransaction, Seq("transaction_hk")),
       "link_customer_transaction_unique" ->
         Checks.unique(models.linkCustomerTransaction, Seq("customer_transaction_hk")),
+      "link_company_transaction_unique" ->
+        Checks.unique(models.linkCompanyTransaction, Seq("company_transaction_hk")),
+      "hub_news_url_grain_unique" -> Checks.unique(models.hubNews, Seq("url")),
+      // every corporate-link company resolves in hub_company
+      "link_company_relationship" -> Checks.relationships(
+        models.linkCompanyTransaction, "company_hk",
+        models.hubCompany, "company_hk"),
 
       // relationships: every fact row resolves to a current customer
       "fct_customer_relationship" -> Checks.relationships(
