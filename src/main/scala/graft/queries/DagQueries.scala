@@ -429,6 +429,55 @@ object DagQueries {
                    FROM raw_customers) p
           ON p.customer_id = k.customer_id AND p.rn = 1""")),
 
+    /** dim_asset.sql:36-105 — hub + latest-wins price snapshot per asset
+      * (W2 + U4 + J5), latest-day ties broken by record_source desc.
+      */
+    Q("q_dag_dim_asset",
+      (s, dir) => models(s, dir).dimAsset
+        .select(col("asset_hk"), col("asset_symbol"), col("asset_type"),
+          col("latest_price").cast("double").as("latest_price")),
+      Some(s"""$RawSql,
+        crypto_daily AS (
+          SELECT CASE WHEN l_partkey % 2 = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS symbol,
+                 CAST(l_shipdate AS DATE) AS d,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
+          FROM lineitem GROUP BY 1, 2),
+        crypto_all AS (
+          SELECT symbol, d,
+                 CAST(price_sum * CAST(f.factor AS DECIMAL(3,2)) AS DECIMAL(20,8)) AS price,
+                 f.src
+          FROM crypto_daily,
+               (SELECT 'binance' AS src, '1.00' AS factor
+                UNION ALL SELECT 'coingecko', '1.01'
+                UNION ALL SELECT 'yfinance', '0.99') f),
+        crypto_latest AS (
+          SELECT symbol, price FROM (
+            SELECT symbol, price,
+                   row_number() OVER (PARTITION BY symbol ORDER BY d DESC, src DESC) AS rn
+            FROM crypto_all) WHERE rn = 1),
+        stock_daily AS (
+          SELECT CASE l_partkey % 3 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' ELSE 'NVDA' END AS symbol,
+                 CAST(l_shipdate AS DATE) AS d,
+                 max(CAST(l_extendedprice AS DECIMAL(12,2))) AS hi
+          FROM lineitem GROUP BY 1, 2),
+        stock_latest AS (
+          SELECT symbol, CAST(hi AS DECIMAL(20,8)) AS price FROM (
+            SELECT symbol, hi,
+                   row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn
+            FROM stock_daily) WHERE rn = 1),
+        assets AS (
+          SELECT DISTINCT symbol AS asset_symbol, 'CRYPTO' AS asset_type FROM crypto_all
+          UNION SELECT DISTINCT symbol, 'STOCK' FROM stock_daily
+          UNION SELECT DISTINCT upper(asset_symbol), upper(asset_type) FROM raw_tx),
+        latest AS (
+          SELECT symbol, 'CRYPTO' AS t, price FROM crypto_latest
+          UNION ALL SELECT symbol, 'STOCK', price FROM stock_latest)
+        SELECT md5(concat_ws('-', a.asset_symbol, a.asset_type)) AS asset_hk,
+               a.asset_symbol, a.asset_type,
+               CAST(l.price AS DOUBLE) AS latest_price
+        FROM assets a
+        LEFT JOIN latest l ON l.symbol = a.asset_symbol AND l.t = a.asset_type""")),
+
     /** dim_customer_history.sql:28-77 — SCD2 version intervals over real
       * multi-load profile history (every 4th customer has a tier upgrade
       * in a later load), lead + 9999-12-31 sentinel, value-exact.
