@@ -359,6 +359,36 @@ object DagQueries {
                     ELSE 'General' END AS news_category
         FROM deduped WHERE rn = 1""")),
 
+    /** fct_news_events.sql:9-29 — link_news_asset ⋈ hub_news ⋈ hub_asset ⋈
+      * sat_news_content, over the deduped scrape stream: one row per
+      * news-asset relationship with the content attributes attached.
+      */
+    Q("q_dag_fct_news_events",
+      (s, dir) => models(s, dir).fctNewsEvents,
+      Some(s"""
+        WITH raw_news AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS ticker,
+                 'CRYPTO' AS asset_type,
+                 'https://news.example.com/p/' || CAST(p_partkey AS VARCHAR) AS url,
+                 p_name || CASE p_partkey % 4 WHEN 0 THEN ' crypto surge' WHEN 1 THEN ' stock dip'
+                      WHEN 2 THEN ' market update' ELSE ' general notes' END AS title,
+                 p_type AS description,
+                 CAST(DATE '2024-01-01' + CAST(p_partkey % 20 AS INTEGER) AS TIMESTAMP) AS date,
+                 'NEWS_API' AS source,
+                 ts.load_timestamp
+          FROM part, (SELECT TIMESTAMP '$loadTsLit' AS load_timestamp
+                      UNION ALL SELECT TIMESTAMP '2024-01-31 21:00:00') ts),
+        deduped AS (
+          SELECT *, row_number() OVER (PARTITION BY url, ticker, asset_type
+                   ORDER BY load_timestamp, source) AS rn
+          FROM raw_news)
+        SELECT md5(concat_ws('-', ticker, asset_type)) AS asset_hk,
+               md5(url) AS news_hk,
+               date AS published_date, title, description, url,
+               source AS news_source,
+               ticker AS asset_symbol, asset_type
+        FROM deduped WHERE rn = 1""")),
+
     /** sat_asset_price_crypto/stock → fct_asset_prices.sql →
       * semantic_asset_performance.sql:10-22.
       */
