@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE JSON stdout line. sbt's default forked-run
+// output strategy routes the child's stdout through the sbt logger, which
+// prefixes every line with "[info] " — json.loads then fails on every line.
+// StdoutOutput passes the child's stdout through verbatim; showSuccess=false
+// drops the trailing "[success] Total time ..." line so the JSON line is the
+// last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,7 +26,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the child's stderr is passed through unprefixed (see
+    // build.sbt outputStrategy) and the driver captures a merged tail — WARN
+    // chatter would push the JSON line out of its window.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -40,10 +43,14 @@ object Bench {
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the whole line < 2000 chars (the driver records
+    // a 2000-char tail); stop() BEFORE println so no shutdown log line can
+    // land after the JSON line — it must be the last line on stdout.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
