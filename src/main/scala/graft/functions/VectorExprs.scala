@@ -18,15 +18,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Determinism contract: the accumulation is the same sequential
   * left-to-right fold as `functions.aggregate`, so results are
   * bit-identical to the HOF form (and to a SQL oracle's `list_reduce`) —
-  * swapping them in cannot change any oracle-checked value.
+  * swapping them in cannot change any oracle-checked value. That includes
+  * ragged inputs: `zip_with` pads the shorter array with nulls, which
+  * poison the fold to NULL — so these expressions also return NULL when
+  * the two arrays differ in length (a silently-partial sum would be a
+  * plausible wrong number; a null is a conspicuous one).
   *
   * Inputs: equal-length `array<float>` or `array<double>` (each side may
-  * differ); null if either side is null; elements are assumed non-null
-  * (dense embeddings).
+  * differ in element type); null if either side is null or the lengths
+  * differ; elements are assumed non-null (dense embeddings).
   */
 private[functions] trait VectorLoop { self: BinaryExpression =>
 
   override def dataType: DataType = DoubleType
+
+  // Length-mismatched inputs yield null even when both children are
+  // non-nullable, so nullability cannot be derived from the children.
+  override def nullable: Boolean = true
 
   protected def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -47,9 +55,10 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += get(x, i, lf) * get(y, i, rf); i += 1 }
@@ -61,10 +70,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ${genGet(a, i, isFloat(left))} * ${genGet(b, i, isFloat(right))};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += ${genGet(a, i, isFloat(left))} * ${genGet(b, i, isFloat(right))};
+         |  }
          |}
        """.stripMargin
     })
@@ -80,9 +93,10 @@ case class DistanceSq(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -99,11 +113,15 @@ case class DistanceSq(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${genGet(a, i, isFloat(left))} - ${genGet(b, i, isFloat(right))};
-         |  ${ev.value} += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${genGet(a, i, isFloat(left))} - ${genGet(b, i, isFloat(right))};
+         |    ${ev.value} += $d * $d;
+         |  }
          |}
        """.stripMargin
     })

@@ -45,6 +45,12 @@ object Similarity {
     * re-shuffled the full dataset on the row id just to pick a minimum).
     * Ties break to the smallest centroid id: the array is sorted by cid
     * and the fold keeps the incumbent unless strictly closer.
+    *
+    * An EMPTY centroid table yields `__best` = null (not the fold's -1
+    * sentinel): a -1 "cluster" would look like a real assignment and turn
+    * `ivfNearDupPairs`'s within-cluster self-join into the all-pairs
+    * blowup the operator exists to avoid — whereas a null cluster_id never
+    * matches an equi-join, so downstream consumers degrade to zero pairs.
     */
   private def withNearest(embeddings: DataFrame, centroids: DataFrame,
       vecCol: String, centroidIdCol: String): DataFrame = {
@@ -63,7 +69,7 @@ object Similarity {
     embeddings
       .crossJoin(cArr)
       .withColumn("__vd", toDouble(col(vecCol)))
-      .withColumn("__best", best)
+      .withColumn("__best", when(size(col("__cs")) > 0, best))
       .drop("__cs", "__vd")
   }
 

@@ -109,13 +109,19 @@ object DagQueries {
       lit("BATCH_DATA").as("source"))
 
     // transactions from orders; every 5th is corporate and references a
-    // supplier-derived company that exists in raw_customers + raw_corporates
+    // supplier-derived company. The modulus is nsupp + 3, NOT nsupp: the
+    // three residues >= nsupp name companies that exist in no raw feed, so
+    // the hub-resolution inner joins (link_company_transaction, the fct
+    // star, customer KPIs) actually drop rows — without unresolvable
+    // fixtures those joins are no-ops and the hash gate can't see whether
+    // they exist at all
     val nSupp = broadcast(supp.agg(count(lit(1)).as("__nsupp")))
     val sym5 = pmod(col("o_orderkey"), lit(5))
     val transactions = ord.crossJoin(nSupp).select(
       concat(lit("TXN-"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("transaction_id"),
       when(sym5 === 0,
-        concat(lit("COMP-"), lpad(pmod(col("o_custkey"), col("__nsupp")).cast("string"), 6, "0")))
+        concat(lit("COMP-"),
+          lpad(pmod(col("o_custkey"), col("__nsupp") + lit(3)).cast("string"), 6, "0")))
         .otherwise(concat(lit("CUST-"), lpad(col("o_custkey").cast("string"), 8, "0")))
         .as("customer_id"),
       when(sym5.isin(1, 2, 3), "stock").otherwise("crypto").as("asset_type"),
@@ -245,7 +251,7 @@ object DagQueries {
     raw_tx AS (
       SELECT 'TXN-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS transaction_id,
              CASE WHEN o_orderkey % 5 = 0
-                  THEN 'COMP-' || lpad(CAST(o_custkey % (SELECT n FROM nsupp) AS VARCHAR), 6, '0')
+                  THEN 'COMP-' || lpad(CAST(o_custkey % ((SELECT n FROM nsupp) + 3) AS VARCHAR), 6, '0')
                   ELSE 'CUST-' || lpad(CAST(o_custkey AS VARCHAR), 8, '0') END AS customer_id,
              CASE WHEN o_orderkey % 5 IN (1, 2, 3) THEN 'stock' ELSE 'crypto' END AS asset_type,
              CASE o_orderkey % 5 WHEN 1 THEN 'AAPL' WHEN 2 THEN 'MSFT' WHEN 3 THEN 'NVDA'
@@ -313,17 +319,27 @@ object DagQueries {
         JOIN sat_tx r ON r.transaction_hk = t.transaction_hk""")),
 
     /** link_company_transaction.sql:14-91 — md5-of-md5 link keys over
-      * corporate transactions resolved via hub_company.
+      * corporate transactions resolved via hub_company AND hub_transaction
+      * (the reference's inner hub joins). The raw mapping deliberately
+      * contains corporate transactions whose company does NOT resolve
+      * (o_custkey residues >= nsupp) so the resolution filter is exercised
+      * — an oracle without the joins would hash-mismatch.
       */
     Q("q_dag_link_company_tx",
       (s, dir) => models(s, dir).linkCompanyTransaction,
       Some(s"""$RawSql
-        SELECT md5(concat_ws('-', md5(customer_id), md5(transaction_id))) AS company_transaction_hk,
-               md5(customer_id) AS company_hk,
-               md5(transaction_id) AS transaction_hk,
-               load_timestamp,
-               source AS record_source
-        FROM raw_tx WHERE customer_type = 'CORPORATE'""")),
+        SELECT md5(concat_ws('-', md5(t.customer_id), md5(t.transaction_id))) AS company_transaction_hk,
+               md5(t.customer_id) AS company_hk,
+               md5(t.transaction_id) AS transaction_hk,
+               t.load_timestamp,
+               t.source AS record_source
+        FROM raw_tx t
+        JOIN (SELECT DISTINCT 'COMP-' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS company_id
+              FROM supplier) hub_company
+          ON hub_company.company_id = t.customer_id
+        JOIN (SELECT DISTINCT transaction_id FROM raw_tx) hub_transaction
+          ON hub_transaction.transaction_id = t.transaction_id
+        WHERE t.customer_type = 'CORPORATE'""")),
 
     /** ephemeral_news.sql dedup → hub_news.sql url grain →
       * sat_news_content.sql hashdiff, + categorize_news macro — the raw

@@ -186,9 +186,12 @@ object ServiceQueries {
           StructField("ck", LongType), StructField("bal", DoubleType),
           StructField("seg", StringType))))
       },
+      // {SF} is substituted with the gate's scale-dir basename when Verify
+      // dumps oracle_sql.json — the oracle always reads the fixture THIS
+      // run wrote, never a stale one from another scale's earlier run
       Some("""
         SELECT TRY_CAST(ck AS BIGINT) AS ck, TRY_CAST(bal AS DOUBLE) AS bal, seg
-        FROM read_csv('/tmp/graft_csv_fixture_sf0.01/*.csv', header=true, all_varchar=true)""")),
+        FROM read_csv('/tmp/graft_csv_fixture_{SF}/*.csv', header=true, all_varchar=true)""")),
 
     // S7 — deterministic distributed synthetic generator (faker parity;
     // no SQL oracle: hash-derived values -> driver rows-only check, with

@@ -99,6 +99,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3L) === 1L) // non-centroid vector -> nearest centroid
   }
 
+  test("empty centroid table: null cluster_id, zero pairs — never an all-pairs -1 cluster") {
+    val noCentroids = vecs.filter($"vec_id" < 0)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val assigned = Similarity.ivfAssign(vecs, noCentroids, "vec_id", "embedding", "centroid_id")
+    assert(assigned.count() === 4)
+    assert(assigned.filter($"cluster_id".isNull).count() === 4)
+    // null keys never match the within-cluster equi-join -> zero candidate
+    // pairs, not a single giant "-1" cluster verified all-pairs
+    val pairs = Similarity.ivfNearDupPairs(
+      vecs, noCentroids, "vec_id", "embedding", "centroid_id", threshold = 0.0)
+    assert(pairs.count() === 0)
+  }
+
   test("kmeansFit recovers separated clusters and reduces inertia") {
     // three tight clusters around the axes
     val data = (0 until 30).map { i =>

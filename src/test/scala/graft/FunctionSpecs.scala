@@ -140,6 +140,18 @@ class VectorFnsSpec extends AnyFunSuite {
     assert(nulls.collect().head.isNullAt(0))
   }
 
+  test("ragged (unequal-length) inputs yield null, matching the HOF fold") {
+    // zip_with pads the shorter side with nulls, which poison the fold to
+    // NULL — the codegen expressions must agree, not emit a partial sum.
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val row = df.select(
+      VectorFns.dot($"a", $"b"), VectorFns.distSq($"a", $"b"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    assert(row.isNullAt(2)) // the HOF form it must match
+  }
+
   test("dot, norm, cosine, distSq on known vectors") {
     val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 4.0, 4.0), Seq(0.0, 0.0, 0.0)))
       .toDF("a", "b", "z")
