@@ -458,4 +458,20 @@ final class Models(val raw: Models.Raw) {
     dimAsset.join(newsCounts, Seq("asset_hk"), "left")
       .withColumn("n_news", coalesce(col("n_news"), lit(0L)))
   }
+
+  /** Mark the shared upstream models for caching, so materializing several
+    * marts off one instance computes each hub/sat once instead of once per
+    * mart (the execution mode a real DAG run uses — dbt materializes these
+    * as tables for the same reason). Lazy: nothing is computed here; the
+    * first action over each frame fills its cache. All of these are
+    * key-grain frames (≤ one row per business key), orders of magnitude
+    * smaller than the raw inputs, so the cache footprint is bounded by the
+    * entity counts, not the fact volume.
+    */
+  def persistShared(): this.type = {
+    Seq(hubCustomer, hubCompany, hubTransaction, hubAsset, ephemeralNews,
+      satNewsContent, ephemeralSatTransactionFull, satAssetPriceCrypto,
+      satAssetPriceStock, fctTransactions).foreach(_.persist())
+    this
+  }
 }
