@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingestion and tokenization: repetition/quality gating (Gopher-style
+  * filters), per-document salient terms (TF-IDF), composition rebalancing
+  * (deterministic stratified sampling), and context-window chunking.
+  *
+  * Every operator is expressed so an independent SQL engine replays it
+  * value-exact: only rational double arithmetic (no transcendentals — ln/exp
+  * are implementation-defined per-libm, IEEE division/multiplication are
+  * correctly rounded everywhere), deterministic md5-derived sampling, and
+  * explicit tiebreaks on every ranking.
+  */
+object Curation {
+
+  /** Per-document repetition/quality signals in the spirit of the Gopher
+    * rules (Rae et al. 2021, "Scaling Language Models", §A.1.1): word count,
+    * mean word length, most-common-word mass, and duplicate-bigram mass,
+    * plus the combined keep/drop verdict.
+    *
+    * Shape at scale: one explode + two-level aggregation. The (doc, token)
+    * count gets map-side partial aggregation, and the per-doc rollup reuses
+    * the same hash partitioning (Exchange reuse — one shuffle of token
+    * counts, never raw tokens twice). The bigram signals are per-row
+    * expressions (codegen `WordShingles`), no extra pass.
+    */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val base = docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      // total bigrams (with duplicates) is determined by the token count;
+      // wordShingles is the DISTINCT set — both sides of the dup fraction
+      greatest(size(toks).cast("long") - 1L, lit(0L)).as("n_bigrams"),
+      size(TextFns.wordShingles(toks, 2)).cast("long").as("n_bigrams_distinct"))
+    val tokenCounts = docs
+      .select(col(idCol), explode(toks).as("__tk"))
+      .groupBy(col(idCol), col("__tk"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perDoc = tokenCounts
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__cnt")).as("__top_cnt"),
+        sum(col("__cnt") * length(col("__tk"))).as("__char_sum"))
+    val joined = base.join(perDoc, Seq(idCol), "left")
+    val meanLen = col("__char_sum").cast("double") / col("n_words").cast("double")
+    val topFrac = col("__top_cnt").cast("double") / col("n_words").cast("double")
+    val dupBigram = when(col("n_bigrams") > 0,
+      lit(1.0) - (col("n_bigrams_distinct").cast("double") / col("n_bigrams").cast("double")))
+    joined.select(
+      col(idCol), col("n_words"),
+      meanLen.as("mean_word_len"),
+      topFrac.as("top_word_frac"),
+      dupBigram.as("dup_bigram_frac"),
+      coalesce(
+        col("n_words") >= 20 && col("n_words") <= 100000 &&
+          meanLen >= 2.0 && meanLen <= 12.0 &&
+          topFrac <= 0.2 && dupBigram <= 0.3,
+        lit(false)).as("keep"))
+  }
+
+  /** Top-k salient terms per document by log-free TF-IDF:
+    * (tf / doc_len) * (n_docs / doc_freq). Deliberate deviation from the
+    * textbook idf = ln(N/df): the log is monotone PER TERM but its libm
+    * implementation is not bit-portable across engines; the rational form
+    * keeps every score an exact IEEE expression any SQL engine reproduces
+    * bit-for-bit, which is what makes the ranking hash-verifiable.
+    * Ties break on the term string, so top-k is fully deterministic.
+    *
+    * Shape at scale: tokens shuffle ONCE into (doc, term) counts (map-side
+    * combine); doc length reuses that partitioning as a window; doc
+    * frequency is a |vocab|-row aggregate — at 100 TB materialize it and
+    * broadcast (vocab ≪ corpus), which is what `dfBroadcastThreshold`
+    * switches on; the per-doc top-k is a bounded window.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = broadcast(docs.agg(countDistinct(col(idCol)).as("__n_docs")))
+    val withLen = pairs.withColumn("__dl",
+      sum(col("tf")).over(Window.partitionBy(col(idCol))))
+    val df_ = withLen.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = df_.crossJoin(nDocs).withColumn("tfidf",
+      (col("tf").cast("double") / col("__dl").cast("double")) *
+        (col("__n_docs").cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep rates (permille),
+    * decided by an md5 bucket of the id — engine- and partitioning-stable,
+    * reproducible years later, and joinable as an exclusion list. The rate
+    * table is a tiny DataFrame broadcast against the corpus (map-only scan;
+    * the classic composition-rebalancing step — e.g. downsample the
+    * dominant language without touching the tail).
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      ratesPermille: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = broadcast(
+      ratesPermille.toSeq.toDF(strataCol, "__rate"))
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("bigint"),
+      lit(1000L))
+    docs
+      .join(rates, Seq(strataCol), "left")
+      .withColumn("strat_bucket", bucket)
+      .filter(col("strat_bucket") < coalesce(col("__rate"), lit(defaultPermille)))
+      .drop("__rate")
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `chunkSize` tokens advancing by `stride` (overlap =
+    * chunkSize - stride). Pure per-row explode — no shuffle; the final
+    * (possibly short) window is kept, empty documents yield no chunks.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val toks = TextFns.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    // last chunk start index k*stride with k = ceil((n - chunkSize)/stride)
+    // when the doc overflows one window, else 0 — exact integer arithmetic
+    val kMax = when(n <= chunkSize, lit(0L))
+      .otherwise(floor((n - chunkSize + (stride - 1)) / lit(stride.toDouble)).cast("long"))
+    docs
+      .select(col(idCol), toks.as("__toks"), n.as("__n"), kMax.as("__kmax"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), col("__kmax"))).as("chunk_idx"))
+      .select(
+        col(idCol), col("chunk_idx"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize))
+          .as("__chunk"))
+      .select(
+        col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{ConnectedComponents, Dedup, Multimodal, Similarity, TextDedup}
+import graft.operators.{ConnectedComponents, Curation, Dedup, Multimodal, Similarity, TextDedup}
 import Q.t
 
 /** Training-data pipeline queries over the `documents` / `embeddings`
@@ -466,6 +466,110 @@ object CorpusQueries {
                unnest(range(0, strlen(text) % 7 + 1, 2)) AS frame_idx,
                md5(CAST(doc_id AS VARCHAR) || '|' ||
                    CAST(unnest(range(0, strlen(text) % 7 + 1, 2)) AS VARCHAR)) AS frame_checksum
-        FROM documents"""))
+        FROM documents""")),
+
+    // Gopher-style repetition/quality gate (Rae et al. 2021 §A.1.1):
+    // word count, mean word length, most-common-word mass, duplicate-bigram
+    // mass, combined keep verdict. All-rational double arithmetic, so the
+    // verdict itself is hash-verified, not just the raw counts.
+    Q("q_gopher_quality",
+      (s, dir) => Curation.gopherSignals(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        b AS (
+          SELECT doc_id, len(tk) AS n_words,
+                 CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams,
+                 CASE WHEN len(tk) >= 2
+                      THEN len(list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]))
+                      ELSE 0 END AS n_bigrams_distinct
+          FROM base),
+        tc AS (
+          SELECT doc_id, tk2 AS tok, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(tk) AS tk2 FROM base)
+          GROUP BY 1, 2),
+        pd AS (
+          SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+                 CAST(sum(cnt * length(tok)) AS BIGINT) AS char_sum
+          FROM tc GROUP BY 1)
+        SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+               CAST(pd.char_sum AS DOUBLE) / CAST(b.n_words AS DOUBLE) AS mean_word_len,
+               CAST(pd.top_cnt AS DOUBLE) / CAST(b.n_words AS DOUBLE) AS top_word_frac,
+               CASE WHEN b.n_bigrams > 0
+                    THEN 1.0 - (CAST(b.n_bigrams_distinct AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE))
+               END AS dup_bigram_frac,
+               coalesce(
+                 b.n_words >= 20 AND b.n_words <= 100000
+                 AND (CAST(pd.char_sum AS DOUBLE) / CAST(b.n_words AS DOUBLE)) >= 2.0
+                 AND (CAST(pd.char_sum AS DOUBLE) / CAST(b.n_words AS DOUBLE)) <= 12.0
+                 AND (CAST(pd.top_cnt AS DOUBLE) / CAST(b.n_words AS DOUBLE)) <= 0.2
+                 AND (CASE WHEN b.n_bigrams > 0
+                       THEN 1.0 - (CAST(b.n_bigrams_distinct AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE))
+                      END) <= 0.3,
+                 false) AS keep
+        FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id""")),
+
+    // Log-free TF-IDF top-3 terms per doc: (tf/dl)*(N/df) with explicit
+    // parenthesization on both sides — every score is the same IEEE
+    // expression in both engines, so the per-doc ranking hash-matches.
+    Q("q_tfidf_topk",
+      (s, dir) => Curation.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some("""
+        WITH pairs AS (
+          SELECT doc_id, tk AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents)
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_id, term, tf,
+                 CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+                 CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
+                 CAST((SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT) AS n
+          FROM pairs)
+        SELECT doc_id, term, tf, df,
+               (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+                (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                term) AS rn
+              FROM scored)
+        WHERE rn <= 3""")),
+
+    // Composition rebalancing: deterministic md5-bucket stratified sampling
+    // (downsample dominant 'en' to 10%, keep the tail at 30%) — the rate
+    // table is a broadcast dimension, the verdict partitioning-stable.
+    Q("q_strat_sample",
+      (s, dir) => Curation.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        ratesPermille = Map("en" -> 100), defaultPermille = 300),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 1000 AS strat_bucket
+          FROM documents)
+        SELECT doc_id, lang, strat_bucket
+        FROM b
+        WHERE strat_bucket < CASE WHEN lang = 'en' THEN 100 ELSE 300 END""")),
+
+    // Context-window chunking: 64-token windows advancing by 48 (16-token
+    // overlap), final short window kept — the tokenize-adjacent step every
+    // training pipeline runs; pure per-row explode, no shuffle.
+    Q("q_doc_chunks",
+      (s, dir) => Curation.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 48),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+                 len(string_split_regex(trim(text), '\s+')) AS n
+          FROM documents),
+        k AS (
+          SELECT doc_id, tk,
+                 unnest(range(0, CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END + 1)) AS chunk_idx
+          FROM base WHERE n > 0)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens,
+               array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+        FROM k"""))
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private val docs = Seq(
+    // 0: clean prose — passes every gate except the 20-word minimum
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    // 1: pathological repetition — top word is half the mass
+    (1L, ("spam " * 30).trim + " one two three four five six seven eight nine ten"),
+    // 2: empty
+    (2L, ""),
+    // 3: 25 distinct words, mean length in range -> keep
+    (3L, (1 to 25).map(i => s"word$i").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("gopherSignals: counts, fractions, and the keep verdict") {
+    val got = Curation.gopherSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(1) === 9) // n_words
+    assert(!got(0L).getBoolean(5)) // too short to keep
+    // doc 1: "spam" appears 30 times out of 40 words
+    assert(got(1L).getLong(1) === 40)
+    assert(got(1L).getDouble(3) === 30.0 / 40.0) // top_word_frac
+    // 29 duplicate "spam spam" bigrams collapse: 39 total, 11 distinct
+    assert(got(1L).getDouble(4) === 1.0 - 11.0 / 39.0)
+    assert(!got(1L).getBoolean(5)) // repetition-gated
+    // empty doc: zero words, null signals, keep=false (not null)
+    assert(got(2L).getLong(1) === 0)
+    assert(got(2L).isNullAt(2) && !got(2L).getBoolean(5))
+    assert(got(3L).getBoolean(5)) // clean 25-word doc survives
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones, ties break on term") {
+    val corpus = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "alpha delta")
+    ).toDF("doc_id", "text")
+    val got = Curation.tfidfTopTerms(corpus, "doc_id", "text", k = 1)
+      .orderBy("doc_id").collect()
+    // every doc's rarest term (df=1) wins over 'alpha' (df=3)
+    assert(got.map(_.getString(1)).toSeq === Seq("beta", "gamma", "delta"))
+    // doc 1: tf=2, dl=3, N=3, df=1 -> (2/3)*(3/1)
+    assert(got(0).getDouble(4) === (2.0 / 3.0) * 3.0)
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val corpus = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val sampled = Curation.stratifiedSample(
+      corpus, "doc_id", "lang", Map("en" -> 100), defaultPermille = 300)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // md5 buckets are uniform-ish: en ~10% of 1000, fr ~30% of 1000
+    assert(byLang("en") > 50 && byLang("en") < 150)
+    assert(byLang("fr") > 230 && byLang("fr") < 370)
+    // repartitioning must not change membership (hash of id, not of row order)
+    val again = Curation.stratifiedSample(
+      corpus.repartition(7), "doc_id", "lang", Map("en" -> 100), defaultPermille = 300)
+    assert(again.select("doc_id").except(sampled.select("doc_id")).count() === 0)
+    assert(sampled.select("doc_id").except(again.select("doc_id")).count() === 0)
+  }
+
+  test("chunkTokens: window/stride arithmetic, short tail kept, empty dropped") {
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0, 4
+      (2L, "a b c"),                                  // one short chunk
+      (3L, "")                                        // no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkTokens(corpus, "doc_id", "text", chunkSize = 6, stride = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = got.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((0L, 6L), (1L, 6L)))
+    assert(byDoc(1L).head.getString(3) === "t1 t2 t3 t4 t5 t6")
+    assert(byDoc(1L)(1).getString(3) === "t5 t6 t7 t8 t9 t10") // 2-token overlap
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((0L, 3L)))
+    assert(!byDoc.contains(3L))
+    // every token position is covered by at least one chunk
+    val covered = byDoc(1L).flatMap(_.getString(3).split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+}
