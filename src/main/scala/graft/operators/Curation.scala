@@ -73,10 +73,14 @@ object Curation {
     * Ties break on the term string, so top-k is fully deterministic.
     *
     * Shape at scale: tokens shuffle ONCE into (doc, term) counts (map-side
-    * combine); doc length reuses that partitioning as a window; doc
-    * frequency is a |vocab|-row aggregate — at 100 TB materialize it and
-    * broadcast (vocab ≪ corpus), which is what `dfBroadcastThreshold`
-    * switches on; the per-doc top-k is a bounded window.
+    * combine); doc length is a window over the doc id (bounded partitions —
+    * one doc's vocabulary); doc frequency is a |vocab|-grain AGGREGATE
+    * joined back, never a window partitioned by term — a term-partitioned
+    * window would funnel every row of a mega-common term ("the" ≈ 5% of an
+    * English corpus) through one partition, while the aggregate's map-side
+    * combine shrinks it to one row per (partition, term) and AQE can
+    * broadcast the vocab table or skew-split the join; the per-doc top-k is
+    * a bounded window.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -85,11 +89,10 @@ object Curation {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = broadcast(docs.agg(countDistinct(col(idCol)).as("__n_docs")))
+    val docFreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val withLen = pairs.withColumn("__dl",
       sum(col("tf")).over(Window.partitionBy(col(idCol))))
-    val df_ = withLen.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
-    val scored = df_.crossJoin(nDocs).withColumn("tfidf",
+    val scored = withLen.join(docFreq, Seq("term")).crossJoin(nDocs).withColumn("tfidf",
       (col("tf").cast("double") / col("__dl").cast("double")) *
         (col("__n_docs").cast("double") / col("df").cast("double")))
     scored
