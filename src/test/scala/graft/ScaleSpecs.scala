@@ -33,6 +33,35 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = sampled.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling should not shuffle:\n$plan")
   }
+
+  test("stratifiedSample: the corpus side never shuffles (broadcast rate dim)") {
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val sampled = graft.operators.Curation.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 100), defaultPermille = 300)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rate dim should broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus side should stay map-only:\n$plan")
+  }
+
+  test("chunkTokens is shuffle-free (pure per-row explode)") {
+    val docs = (0L until 50L).map(i => (i, ("tok " * 100).trim)).toDF("doc_id", "text")
+    val chunks = graft.operators.Curation.chunkTokens(docs, "doc_id", "text", 64, 48)
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
+  }
+
+  test("tfidfTopTerms: doc frequency is an aggregate, never a term-partitioned window") {
+    val docs = (0L until 50L).map(i => (i, s"the quick tok$i")).toDF("doc_id", "text")
+    val scored = graft.operators.Curation.tfidfTopTerms(docs, "doc_id", "text", 3)
+    val plan = scored.queryExecution.executedPlan.toString
+    // windows may partition only by the doc id (bounded: one doc's vocab);
+    // a term-partitioned window would funnel a mega-common term's every
+    // row through one partition at corpus scale
+    assert(!plan.contains("windowspecdefinition(term"),
+      s"term-partitioned window in the tfidf path:\n$plan")
+  }
 }
 
 class BucketingSpec extends AnyFunSuite {
