@@ -31,14 +31,19 @@ object Bench {
     // chatter would push the JSON line out of its window.
     spark.sparkContext.setLogLevel("ERROR")
 
+    // sorted: Map iteration order is hash-based, which made per-query time
+    // attribution nondeterministic across rounds for queries that share
+    // cached upstream state (whichever q_dag_* ran first paid the cache)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      ordered.foreach { case (_, fn) =>
         try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
@@ -49,7 +54,7 @@ object Bench {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     spark.stop()
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")

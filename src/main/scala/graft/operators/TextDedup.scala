@@ -292,7 +292,13 @@ object TextDedup {
       col("__na") >= col("__nb") * threshold && col("__nb") >= col("__na") * threshold &&
       jaccardFromInter(IntersectCardSorted(col("__sa"), col("__sb")),
         col("__na"), col("__nb")) >= threshold
-    l.join(r, cond)
+    // SHUFFLE_HASH, not broadcast: the two sides are renamed projections of
+    // the SAME set-building subplan (explode + window + collect_set — the
+    // expensive part). Shuffled on the block key they canonicalize to one
+    // Exchange + ReusedExchange, so the sets are computed once; a broadcast
+    // side has a different canonical form and forces a second full pass
+    // (and broadcasting a corpus-wide set table is wrong at scale anyway).
+    l.hint("SHUFFLE_HASH").join(r.hint("SHUFFLE_HASH"), cond)
       .withColumn("jaccard", jaccardFromInter(
         IntersectCardSorted(col("__sa"), col("__sb")), col("__na"), col("__nb")))
       .select(col("a_id"), col("b_id"), col("jaccard"))

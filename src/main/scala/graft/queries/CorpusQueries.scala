@@ -31,7 +31,11 @@ object CorpusQueries {
       t(s, dir, "documents"), "doc_id", Seq("lang"), TextFns.tokens(col("text")))
     val a = fp.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("__ha"))
     val b = fp.select(col("lang").as("lang2"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
-    a.join(b, col("lang") === col("lang2") && col("a_id") < col("b_id") &&
+    // SHUFFLE_HASH: both sides are renames of the same fingerprint subplan;
+    // shuffled on the language key they collapse to Exchange+ReusedExchange
+    // (fingerprints computed once) — a broadcast side would rebuild them
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"),
+        col("lang") === col("lang2") && col("a_id") < col("b_id") &&
         TextDedup.hammingDistance(col("__ha"), col("__hb")) <= 2)
       .withColumn("hamming", TextDedup.hammingDistance(col("__ha"), col("__hb")))
   }
