@@ -178,6 +178,13 @@ object TextDedup {
       shingleWords: Int,
       threshold: Double): DataFrame = {
     val sets = hashedNgramSets(docs, idCol, Seq(), tokensCol, shingleWords)
+    // The candidate pair list is broadcast against the set table twice, so
+    // the set build runs twice. Measured alternative (SHUFFLE_HASH on the
+    // set side for Exchange reuse) was NET SLOWER: shuffling + hash-mapping
+    // the array-heavy set rows twice costs more than one recompute, while
+    // the pair list is bounded by the LSH bucket cap and broadcasts for
+    // free. At persistent-pipeline scale, materialize `sets` once (it is
+    // the signature table) and both joins become cheap probes.
     pairs
       .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb")), Seq("b_id"))
