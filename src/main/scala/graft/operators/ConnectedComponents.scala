@@ -33,12 +33,14 @@ object ConnectedComponents {
     * distinct vertex; `label` = min id within `rounds` hops.
     */
   def minLabel(edges: DataFrame, aCol: String, bCol: String, rounds: Int): DataFrame = {
-    // materialize the (possibly expensive) pair-producing pipeline ONCE:
-    // every round joins against `und`, and without this each round would
-    // recompute the upstream near-dup detection from scratch
-    val und = edges.select(col(aCol).as("x"), col(bCol).as("y"))
-      .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
+    // materialize the (possibly expensive) pair-producing pipeline ONCE,
+    // BEFORE mirroring: a union of two selects over the raw `edges` plan
+    // executes the upstream near-dup join once per branch (the O(block²)
+    // predicate loop twice), and every propagation round would recompute
+    // it again — the checkpointed pair list is scanned instead
+    val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .localCheckpoint()
+    val und = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
     var labels = und.select(col("x").as("v")).distinct()
       .withColumn("label", col("v"))
     for (_ <- 0 until rounds) {

@@ -286,7 +286,10 @@ object TextDedup {
       tokensCol: Column,
       shingleWords: Int,
       threshold: Double): DataFrame = {
+    // persist: both join sides read one cached materialization of the
+    // expensive set build instead of recomputing it per side
     val sets = hashedNgramSets(docs, idCol, Seq(blockCol), tokensCol, shingleWords)
+      .persist()
     val l = sets.select(col(blockCol).as("__blk"), col(idCol).as("a_id"), col("__set").as("__sa"), col("__n").as("__na"))
     val r = sets.select(col(blockCol).as("__blk2"), col(idCol).as("b_id"), col("__set").as("__sb"), col("__n").as("__nb"))
     // The ENTIRE pair predicate (ordering, size-ratio prefilter, exact
@@ -299,13 +302,13 @@ object TextDedup {
       col("__na") >= col("__nb") * threshold && col("__nb") >= col("__na") * threshold &&
       jaccardFromInter(IntersectCardSorted(col("__sa"), col("__sb")),
         col("__na"), col("__nb")) >= threshold
-    // SHUFFLE_HASH, not broadcast: the two sides are renamed projections of
-    // the SAME set-building subplan (explode + window + collect_set — the
-    // expensive part). Shuffled on the block key they canonicalize to one
-    // Exchange + ReusedExchange, so the sets are computed once; a broadcast
-    // side has a different canonical form and forces a second full pass
-    // (and broadcasting a corpus-wide set table is wrong at scale anyway).
-    l.hint("SHUFFLE_HASH").join(r.hint("SHUFFLE_HASH"), cond)
+    // broadcast build over the cached sets, NOT a shuffled join on the
+    // block key: with a handful of blocks, hash partitioning degenerates
+    // to one task per block and the dominant block's O(block²) predicate
+    // loop runs on a single core — the broadcast probe keeps every cache
+    // partition working. (Bounded-block operator: the build side is small
+    // by contract, see the header.)
+    l.join(broadcast(r), cond)
       .withColumn("jaccard", jaccardFromInter(
         IntersectCardSorted(col("__sa"), col("__sb")), col("__na"), col("__nb")))
       .select(col("a_id"), col("b_id"), col("jaccard"))

@@ -27,14 +27,16 @@ object CorpusQueries {
     * O(block²) loop never materialize as output rows.
     */
   private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // persist: both self-join sides read one cached materialization of the
+    // fingerprint aggregation; the broadcast probe (vs a join shuffled on
+    // the language key) keeps O(block²) hamming work spread across every
+    // cache partition instead of one task per language
     val fp = TextDedup.simhashFingerprints(
       t(s, dir, "documents"), "doc_id", Seq("lang"), TextFns.tokens(col("text")))
+      .persist()
     val a = fp.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("__ha"))
     val b = fp.select(col("lang").as("lang2"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
-    // SHUFFLE_HASH: both sides are renames of the same fingerprint subplan;
-    // shuffled on the language key they collapse to Exchange+ReusedExchange
-    // (fingerprints computed once) — a broadcast side would rebuild them
-    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"),
+    a.join(broadcast(b),
         col("lang") === col("lang2") && col("a_id") < col("b_id") &&
         TextDedup.hammingDistance(col("__ha"), col("__hb")) <= 2)
       .withColumn("hamming", TextDedup.hammingDistance(col("__ha"), col("__hb")))
