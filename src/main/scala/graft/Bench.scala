@@ -48,11 +48,13 @@ object Bench {
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal seconds keep the whole line < 2000 chars (the driver records
-    // a 2000-char tail); stop() BEFORE println so no shutdown log line can
-    // land after the JSON line — it must be the last line on stdout.
+    // 2-decimal per-query seconds keep the whole line well under 2000 chars
+    // (the driver records a 2000-char tail); stop() BEFORE println so no
+    // shutdown log line can land after the JSON line — it must be the last
+    // line on stdout.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()

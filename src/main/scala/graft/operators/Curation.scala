@@ -129,6 +129,48 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Train/test decontamination: for every test document, the fraction of
+    * its distinct word n-grams that also occur ANYWHERE in the training
+    * corpus (the GPT-3 appendix-C style containment check, run before any
+    * benchmark score is trusted). A test doc whose contamination exceeds
+    * the threshold is flagged for removal.
+    *
+    * Shape at scale: this is an inverted-index SEMI-join on the gram hash —
+    * one distinct-aggregate over train grams, one shuffle of test grams,
+    * no pairwise comparison anywhere. Grams travel as 8-byte xxhash64
+    * values, not strings; totals are per-row expression work.
+    */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int,
+      threshold: Double): DataFrame = {
+    def grams = TextFns.wordShingles(TextFns.tokens(col(textCol)), nGram)
+    val trainGrams = train
+      .select(explode(grams).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    val testGrams = test
+      .select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+    val hits = testGrams
+      .join(trainGrams, Seq("__gh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+    val contamination =
+      when(col("n_grams") > 0, col("n_hit").cast("double") / col("n_grams").cast("double"))
+    test
+      .select(col(idCol), size(grams).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(
+        col(idCol), col("n_grams"), col("n_hit"),
+        contamination.as("contamination"),
+        coalesce(contamination >= threshold, lit(false)).as("flagged"))
+  }
+
   /** Context-window chunking: split each document's token stream into
     * windows of `chunkSize` tokens advancing by `stride` (overlap =
     * chunkSize - stride). Pure per-row explode — no shuffle; the final

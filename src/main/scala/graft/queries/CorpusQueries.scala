@@ -558,6 +558,46 @@ object CorpusQueries {
         FROM b
         WHERE strat_bucket < CASE WHEN lang = 'en' THEN 100 ELSE 300 END""")),
 
+    // Train/test decontamination: fraction of each test doc's distinct
+    // 3-grams that occur anywhere in the train split (GPT-3 appendix-C
+    // containment); an inverted-index semi-join on the gram hash, never
+    // pairwise. Splits derive from the same md5 bucket as q_hash_sample.
+    Q("q_decontam",
+      (s, dir) => {
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+          lit(100L))
+        val docs = t(s, dir, "documents")
+        Curation.contamination(
+          docs.filter(bucket < 80), docs.filter(bucket >= 90),
+          "doc_id", "text", nGram = 3, threshold = 0.2)
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 100 AS pb
+          FROM documents),
+        tr AS (SELECT DISTINCT unnest(CASE WHEN len(tk) >= 3
+                 THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] ELSE [] END) AS g
+               FROM (SELECT string_split_regex(trim(text), '\s+') AS tk FROM b WHERE pb < 80)),
+        te AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+                 THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] ELSE [] END) AS gs
+               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM b WHERE pb >= 90)),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM (SELECT doc_id, unnest(gs) AS g FROM te) x JOIN tr USING (g)
+                 GROUP BY 1)
+        SELECT te.doc_id, CAST(len(te.gs) AS BIGINT) AS n_grams,
+               coalesce(h.n_hit, 0) AS n_hit,
+               CASE WHEN len(te.gs) > 0
+                    THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(te.gs) AS DOUBLE)
+               END AS contamination,
+               coalesce((CASE WHEN len(te.gs) > 0
+                    THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(te.gs) AS DOUBLE)
+               END) >= 0.2, false) AS flagged
+        FROM te LEFT JOIN hits h ON h.doc_id = te.doc_id""")),
+
     // Context-window chunking: 64-token windows advancing by 48 (16-token
     // overlap), final short window kept — the tokenize-adjacent step every
     // training pipeline runs; pure per-row explode, no shuffle.

@@ -66,6 +66,25 @@ class CurationSpec extends AnyFunSuite {
     assert(sampled.select("doc_id").except(again.select("doc_id")).count() === 0)
   }
 
+  test("contamination: containment fraction against the train gram index") {
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // verbatim copy -> 1.0
+      (2L, "alpha beta gamma nine ten"),      // 1 of 3 grams hit
+      (3L, "x y z w"),                        // disjoint -> 0.0
+      (4L, "too short")                       // < 3 tokens -> no grams
+    ).toDF("doc_id", "text")
+    val got = Curation.contamination(train, test, "doc_id", "text", nGram = 3, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(3) === 1.0 && got(1L).getBoolean(4))
+    assert(got(2L).getLong(1) === 3 && got(2L).getLong(2) === 1)
+    assert(got(2L).getDouble(3) === 1.0 / 3.0 && got(2L).getBoolean(4))
+    assert(got(3L).getDouble(3) === 0.0 && !got(3L).getBoolean(4))
+    assert(got(4L).getLong(1) === 0 && got(4L).isNullAt(3) && !got(4L).getBoolean(4))
+  }
+
   test("chunkTokens: window/stride arithmetic, short tail kept, empty dropped") {
     val corpus = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0, 4
