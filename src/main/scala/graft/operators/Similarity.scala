@@ -150,6 +150,32 @@ object Similarity {
       .select(col("cluster_id"), col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Per-dimension int8 scalar quantization — the 4x storage/bandwidth
+    * reduction step before an embedding table ships to an ANN index.
+    * Emits (id, dim, q) rows: q = round((x - min_d) / (max_d - min_d) * 255)
+    * in [0, 255], with constant dimensions mapped to 0. Dequantization is
+    * min_d + q/255*(max_d - min_d); both directions are rational IEEE
+    * arithmetic, so an independent engine replays them bit-for-bit.
+    *
+    * Shape at scale: one pass computes per-dim min/max (posexplode →
+    * groupBy(dim) with map-side combine — the shuffle carries dims-many
+    * partials per map partition, not vectors), the tiny stats table
+    * broadcasts back, and quantization is map-only.
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = embeddings.select(col(idCol),
+      posexplode(toDouble(col(vecCol))).as(Seq("__d0", "__x")))
+      .withColumn("dim", col("__d0") + 1) // 1-based, matches SQL indexing
+    val stats = broadcast(dims.groupBy(col("dim"))
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx")))
+    dims.join(stats, Seq("dim"))
+      .select(
+        col(idCol), col("dim").cast("long").as("dim"),
+        when(col("__mx") > col("__mn"),
+          round((col("__x") - col("__mn")) / (col("__mx") - col("__mn")) * 255.0))
+          .otherwise(0.0).cast("int").as("q"))
+  }
+
   /** Sum of squared distances to the assigned centroid — the k-means
     * objective, for convergence checks (deliberate driver-side scalar).
     */

@@ -558,6 +558,23 @@ object CorpusQueries {
         FROM b
         WHERE strat_bucket < CASE WHEN lang = 'en' THEN 100 ELSE 300 END""")),
 
+    // Int8 scalar quantization of the embedding table (per-dim min/max
+    // scaling): one stats pass + broadcast + map-only quantize. Emitted as
+    // (vec_id, dim, q) rows; q and the dequantization are rational IEEE
+    // arithmetic, replayed value-exact by the oracle.
+    Q("q_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""
+        WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+        x AS (SELECT vec_id, dim, CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS x
+              FROM embeddings, dims),
+        st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1)
+        SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim,
+               CAST(CASE WHEN st.mx > st.mn
+                    THEN round(((x.x - st.mn) / (st.mx - st.mn)) * 255.0)
+                    ELSE 0.0 END AS INT) AS q
+        FROM x JOIN st USING (dim)""")),
+
     // Train/test decontamination: fraction of each test doc's distinct
     // 3-grams that occur anywhere in the train split (GPT-3 appendix-C
     // containment); an inverted-index semi-join on the gram hash, never

@@ -112,6 +112,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.count() === 0)
   }
 
+  test("quantizeInt8: endpoints hit 0/255, constant dims -> 0, dequant error bounded") {
+    val data = Seq(
+      (0L, Seq(0.0f, 5.0f, 1.0f)),
+      (1L, Seq(10.0f, 5.0f, 2.0f)),
+      (2L, Seq(5.0f, 5.0f, 3.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(data, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(q((0L, 1L)) === 0 && q((1L, 1L)) === 255) // dim 1 endpoints
+    assert(q((2L, 1L)) === 128) // mid-range rounds to 128 (127.5 half-up)
+    assert(q((0L, 2L)) === 0 && q((1L, 2L)) === 0) // constant dim -> 0
+    assert(q((0L, 3L)) === 0 && q((2L, 3L)) === 255)
+    // dequantization error is bounded by half a quantization step
+    val step = 10.0 / 255.0
+    val deq = 0.0 + q((2L, 1L)) / 255.0 * 10.0
+    assert(math.abs(deq - 5.0) <= step / 2 + 1e-12)
+  }
+
   test("kmeansFit recovers separated clusters and reduces inertia") {
     // three tight clusters around the axes
     val data = (0 until 30).map { i =>
