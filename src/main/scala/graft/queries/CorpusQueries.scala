@@ -558,6 +558,23 @@ object CorpusQueries {
         FROM b
         WHERE strat_bucket < CASE WHEN lang = 'en' THEN 100 ELSE 300 END""")),
 
+    // REAL image decode (netpbm P6 — zero-library raster format): encode a
+    // deterministic well-formed PPM per doc, decode it with the actual
+    // header/pixel parser, and hash-verify the decoded dimensions and
+    // per-channel pixel means against the closed-form oracle.
+    Q("q_image_decode",
+      (s, dir) => Multimodal.decodePnmFeatures(
+        Multimodal.pnmFixture(t(s, dir, "documents"), "doc_id")),
+      Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               3 AS channels,
+               CAST(sum((doc_id * 7 + 3 * p + 0) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_r,
+               CAST(sum((doc_id * 7 + 3 * p + 1) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_g,
+               CAST(sum((doc_id * 7 + 3 * p + 2) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_b
+        FROM px GROUP BY doc_id, w, h""")),
+
     // Int8 scalar quantization of the embedding table (per-dim min/max
     // scaling): one stats pass + broadcast + map-only quantize. Emitted as
     // (vec_id, dim, q) rows; q and the dequantization are rational IEEE

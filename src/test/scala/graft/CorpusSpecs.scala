@@ -221,4 +221,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("feature_0") === ('h'.toInt / 255.0))
     assert(rows(1).isNullAt(rows(1).fieldIndex("feature_0"))) // empty payload
   }
+
+  test("decodePnm really parses netpbm: P6, P5, comments, truncation, junk") {
+    // 2x2 P6 with a header comment: pixels r=(10,20,30,40) g=+1 b=+2
+    val p6 = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array(10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42).map(_.toByte))
+    val Some((w, h, ch, means)) = Multimodal.decodePnm(p6)
+    assert((w, h, ch) === (2, 2, 3))
+    assert(means(0) === 25.0 && means(1) === 26.0 && means(2) === 27.0)
+    // P5 grayscale
+    val p5 = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array(0, 100, 200).map(_.toByte)
+    val Some((w5, h5, ch5, m5)) = Multimodal.decodePnm(p5)
+    assert((w5, h5, ch5) === (3, 1, 1) && m5(0) === 100.0)
+    // truncated body and junk must both be rejected, not mis-parsed
+    assert(Multimodal.decodePnm(p6.dropRight(1)).isEmpty)
+    assert(Multimodal.decodePnm("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodePnm(Array[Byte]()).isEmpty)
+  }
+
+  test("pnmFixture payloads round-trip through the real decoder") {
+    val ids = Seq(0L, 1L, 7L, 123L).toDF("doc_id")
+    val got = Multimodal.decodePnmFeatures(Multimodal.pnmFixture(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: w=4 h=3, pixel byte k = k%256 -> channel sums have closed form
+    val r0 = got(0L)
+    assert(r0.getInt(1) === 4 && r0.getInt(2) === 3 && r0.getInt(3) === 3)
+    val n = 4 * 3
+    val expMeanR = (0 until n).map(p => (3 * p) % 256).sum.toDouble / n
+    assert(r0.getDouble(4) === expMeanR)
+    assert(got(123L).getInt(1) === (4 + 123 % 5) && got(123L).getInt(2) === (3 + 123 % 4))
+  }
 }
