@@ -575,6 +575,24 @@ object CorpusQueries {
                CAST(sum((doc_id * 7 + 3 * p + 2) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_b
         FROM px GROUP BY doc_id, w, h""")),
 
+    // REAL audio decode (PCM16 WAV — RIFF parses with zero libraries):
+    // deterministic well-formed payloads through the actual chunk-walking
+    // parser; decoded sample count, duration, mean amplitude, and RMS are
+    // hash-verified against the closed-form oracle (sqrt is IEEE-exact).
+    Q("q_audio_decode",
+      (s, dir) => Multimodal.decodeWavFeatures(
+        Multimodal.wavFixture(t(s, dir, "documents"), "doc_id")),
+      Some("""
+        WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+        sm AS (SELECT doc_id, n, ((doc_id * 13 + unnest(range(0, n)) * 5) % 4096) - 2048 AS s
+               FROM d)
+        SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n AS DOUBLE) / 8000 AS duration_sec,
+               CAST(sum(s) AS DOUBLE) / n AS mean_amp,
+               sqrt(CAST(sum(s * s) AS DOUBLE) / n) AS rms
+        FROM sm GROUP BY doc_id, n""")),
+
     // Int8 scalar quantization of the embedding table (per-dim min/max
     // scaling): one stats pass + broadcast + map-only quantize. Emitted as
     // (vec_id, dim, q) rows; q and the dequantization are rational IEEE

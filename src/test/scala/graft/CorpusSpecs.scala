@@ -239,6 +239,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePnm(Array[Byte]()).isEmpty)
   }
 
+  test("decodeWav really parses RIFF/PCM16: chunk walk, sign extension, rejection") {
+    def wav(samples: Seq[Int], extraChunk: Boolean = false): Array[Byte] = {
+      val dataSize = samples.size * 2
+      val junk = if (extraChunk) 6 + 8 else 0 // odd-sized chunk + padding
+      val buf = java.nio.ByteBuffer.allocate(44 + junk + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + junk + dataSize).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      if (extraChunk) { buf.put("LIST".getBytes).putInt(5).put(Array[Byte](1, 2, 3, 4, 5, 0)) }
+      buf.put("data".getBytes).putInt(dataSize)
+      samples.foreach(s => buf.putShort(s.toShort))
+      buf.array()
+    }
+    val Some((ch, rate, bits, n, mean, rms)) = Multimodal.decodeWav(wav(Seq(-100, 100, 300)))
+    assert((ch, rate, bits, n) === (1, 8000, 16, 3L))
+    assert(mean === 100.0 && rms === math.sqrt((10000.0 + 10000.0 + 90000.0) / 3))
+    // an unknown odd-sized chunk between fmt and data is skipped word-aligned
+    assert(Multimodal.decodeWav(wav(Seq(1, -1), extraChunk = true)).map(_._4) === Some(2L))
+    assert(Multimodal.decodeWav(wav(Seq(5)).dropRight(1)).isEmpty) // truncated
+    assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+  }
+
   test("pnmFixture payloads round-trip through the real decoder") {
     val ids = Seq(0L, 1L, 7L, 123L).toDF("doc_id")
     val got = Multimodal.decodePnmFeatures(Multimodal.pnmFixture(ids, "doc_id"))
