@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, BreadthQueries, CoreQueries, CorpusQueries, DagQueries, Q, ServiceQueries}
+import graft.queries.{AnalyticsQueries, BreadthQueries, CoreQueries, CorpusQueries, DagQueries, Q, ServiceQueries, StatsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
   /** All registered queries (each maps to an operator family in SURVEY §2). */
   def registered: Seq[Q] =
     CoreQueries.all ++ CorpusQueries.all ++ ServiceQueries.all ++
-      AnalyticsQueries.all ++ DagQueries.all ++ BreadthQueries.all
+      AnalyticsQueries.all ++ DagQueries.all ++ BreadthQueries.all ++
+      StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

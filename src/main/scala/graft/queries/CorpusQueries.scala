@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{ConnectedComponents, Curation, Dedup, Multimodal, Similarity, TextDedup}
+import graft.operators.{ConnectedComponents, Curation, Dedup, Multimodal, SetSimJoin, Similarity, TextDedup}
 import Q.t
 
 /** Training-data pipeline queries over the `documents` / `embeddings`
@@ -668,6 +668,30 @@ object CorpusQueries {
         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                CAST(len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens,
                array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
-        FROM k"""))
+        FROM k""")),
+
+    // Exact Jaccard set-similarity self-join via AllPairs/PPJoin prefix
+    // filtering — the exact complement to the probabilistic MinHash/SimHash
+    // paths. Candidates come from an inverted index over each set's rarest
+    // tokens only; integer cross-multiplication keeps FP out of the
+    // predicate. 1-in-5 doc slice: the synthetic corpus is word salad from
+    // a ~40-token vocabulary, so at full density the RESULT itself is
+    // quadratic-sized — the slice bounds output, not algorithm cost.
+    Q("q_setsim_pairs",
+      (s, dir) => SetSimJoin.jaccardJoin(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", thetaPct = 90),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS ts
+          FROM documents WHERE doc_id % 5 = 0),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.ts, b.ts)) AS inter,
+                 len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
+          FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni
+        FROM p WHERE inter * 100 >= 90 * uni"""))
   )
 }
