@@ -205,6 +205,29 @@ object StatsQueries {
                quantile_cont(l_quantity, 0.5) AS med,
                quantile_cont(l_quantity, 0.75) AS q3,
                count(*) AS n
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // Time-RANGE window frame: trailing-24-hour activity per user by actual
+    // event time (the ROWS-frame cousin is q_moving_avg). Spark's range
+    // frame runs over unix_micros — the same inclusive [t-24h, t] interval
+    // DuckDB's RANGE INTERVAL frame uses; the running sum is decimal-exact
+    // so peer-order within the frame cannot change the hash.
+    Q("q_rolling_24h",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts").cast("timestamp")))
+          .rangeBetween(-86400000000L, Window.currentRow)
+        t(s, dir, "events").select(
+          col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(Q.dec2(col("value"))).over(w).cast("double").as("sum_24h"))
+      },
+      Some("""
+        SELECT user_id, event_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_24h,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"""))
   )
 }
