@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.BloomPrune
+import graft.operators.{BloomPrune, ZOrder}
 import Q.{dec2, t}
 
 /** SQL-surface breadth beyond the reference's own queries: the ranking /
@@ -141,6 +141,34 @@ object BreadthQueries {
         SELECT DISTINCT user_id FROM events
         WHERE user_id IS NOT NULL
           AND user_id NOT IN (SELECT c_custkey FROM customer
-                              WHERE c_custkey IS NOT NULL AND c_custkey % 5 <> 0)"""))
+                              WHERE c_custkey IS NOT NULL AND c_custkey % 5 <> 0)""")),
+
+    // Z-order (Morton) clustering key over (customer, order-day) — the
+    // multi-dimensional layout step that gives parquet min/max pruning
+    // locality on BOTH dimensions (see operators/ZOrder). The mask-spread
+    // construction is pure `& | <<` integer arithmetic, map-only and
+    // codegen'd, so the oracle replays every z-value bit-for-bit.
+    Q("q_zorder_keys",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        ZOrder.zvalue2(
+          col("o_custkey") % 65536,
+          (datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date")) % 65536)
+            .cast("long")).as("zval")),
+      Some("""
+        WITH b0 AS (
+          SELECT o_orderkey,
+                 CAST(o_custkey % 65536 AS BIGINT) AS x,
+                 CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+          FROM orders),
+        b1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS x,
+                      ((y | (y << 8)) & 16711935) AS y FROM b0),
+        b2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x,
+                      ((y | (y << 4)) & 252645135) AS y FROM b1),
+        b3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x,
+                      ((y | (y << 2)) & 858993459) AS y FROM b2),
+        b4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x,
+                      ((y | (y << 1)) & 1431655765) AS y FROM b3)
+        SELECT o_orderkey, (x | (y << 1)) AS zval FROM b4"""))
   )
 }
