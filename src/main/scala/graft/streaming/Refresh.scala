@@ -35,26 +35,13 @@ final class Refresh(
     // repoint the "current" markers only after every mart of this version
     // landed, so a refresh is all-or-nothing for downstream readers
     out.foreach { case (name, path) =>
-      val marker = new org.apache.hadoop.fs.Path(s"$publishBase/$name/_current")
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(marker.toString + ".tmp")
-      val os = fs.create(tmp, true)
-      os.write(path.getBytes("UTF-8"))
-      os.close()
-      // atomic replace (plain FileSystem.rename refuses existing targets)
-      org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      Pointer.write(spark, s"$publishBase/$name/_current", path)
     }
     out
   }
 
   /** Read the currently-published version of a mart. */
-  def current(name: String): DataFrame = {
-    val marker = new org.apache.hadoop.fs.Path(s"$publishBase/$name/_current")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(marker)
-    val path = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    in.close()
-    spark.read.parquet(path)
-  }
+  def current(name: String): DataFrame =
+    Pointer.currentTable(spark, s"$publishBase/$name/_current")
+      .getOrElse(sys.error(s"no published version of $name"))
 }
