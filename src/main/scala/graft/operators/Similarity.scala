@@ -219,6 +219,89 @@ object Similarity {
     (0 until nBits).map(p => bitOf(p) * lit(1L << p)).reduce(_ + _)
   }
 
+  /** Product-quantization codebook: the vector is split into `m` contiguous
+    * subspaces of `dims / m` dimensions and each subspace gets its own
+    * k-means codebook (trained with the deterministic `kmeansFit`). Output:
+    * (subspace, centroid_id, vecCol = sub-centroid) — m·k tiny rows.
+    *
+    * PQ is the memory tier of large-scale ANN (IVF selects candidate
+    * lists, PQ compresses residual vectors to m small codes — the FAISS
+    * IVF+PQ layout, from the public Jégou/Douze/Schmid PQ paper): at 100 TB
+    * the raw float vectors never need to be held per-row after encoding —
+    * m bytes replace dims floats (64× here).
+    *
+    * The m subspace trainings are independent jobs over column slices of
+    * the same scan; they share the cached input and could run from
+    * concurrent driver threads — kept sequential here for determinism of
+    * job ordering (results are identical either way).
+    */
+  def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      val sliced = embeddings.select(col(idCol),
+        slice(toDouble(col(vecCol)), s * sub + 1, sub).as(vecCol))
+      kmeansFit(sliced, idCol, vecCol, k, iters)
+        .withColumn("subspace", lit(s))
+    }.reduce(_ unionByName _)
+      .select(col("subspace"), col("centroid_id"), col(vecCol))
+  }
+
+  /** Encode every vector as its m-entry PQ code (nearest sub-centroid per
+    * subspace). TRULY map-only at any scale: the m·k codebook collapses to
+    * one broadcast array row and each subspace's argmin is a codegen'd
+    * fold over that array — same shape as `withNearest`, no shuffle, no
+    * per-subspace join.
+    */
+  def pqAssign(embeddings: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, m: Int, sub: Int): DataFrame = {
+    val cb = broadcast(codebook
+      .select(struct(col("subspace").cast("long").as("s"),
+        col("centroid_id").cast("long").as("cid"),
+        toDouble(col(vecCol)).as("cv")).as("__e"))
+      .agg(array_sort(collect_list(col("__e"))).as("__cb")))
+    embeddings.crossJoin(cb)
+      .withColumn("__vd", toDouble(col(vecCol)))
+      .withColumn("code", transform(sequence(lit(0), lit(m - 1)), s => {
+        val entries = filter(col("__cb"), e => e.getField("s") === s.cast("long"))
+        aggregate(entries,
+          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+          (acc, e) => {
+            val d = graft.functions.VectorExprs.distSq(
+              slice(col("__vd"), s * lit(sub) + 1, lit(sub)), e.getField("cv"))
+            when(d < acc.getField("d"), struct(d.as("d"), e.getField("cid").as("cid")))
+              .otherwise(acc)
+          }).getField("cid")
+      }))
+      .drop("__cb", "__vd")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query's m·k
+    * distance lookup table is computed IN-PLAN (codebook × broadcast
+    * 1-row query) and broadcast; each row's approximate distance is the
+    * sum of its code's table entries. The only wide operation is the
+    * final TakeOrdered(k) — the scan never touches raw vectors.
+    */
+  def pqTopK(codes: DataFrame, codebook: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, sub: Int, k: Int): DataFrame = {
+    val q = broadcast(query.select(toDouble(col(vecCol)).as("__q")))
+    val dt = broadcast(codebook.crossJoin(q)
+      .select(
+        col("subspace").cast("int").as("__s"),
+        col("centroid_id").cast("long").as("__cid"),
+        graft.functions.VectorExprs.distSq(
+          slice(col("__q"), col("subspace").cast("int") * sub + 1, lit(sub)),
+          toDouble(col(vecCol))).as("__d")))
+    codes
+      .select(col(idCol), posexplode(col("code")).as(Seq("__s", "__cid")))
+      .join(dt, Seq("__s", "__cid"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__d")).as("approx_dist_sq"))
+      .orderBy(col("approx_dist_sq"), col(idCol))
+      .limit(k)
+  }
+
   /** Hyperplane component (p, i): first 8 hex chars of md5("p|i") as a
     * uint32, scaled to [-0.5, 0.5). Matches the SQL-side derivation
     * bit-for-bit (uint32 < 2^53 is exact in double).

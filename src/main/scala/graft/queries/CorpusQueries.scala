@@ -670,6 +670,104 @@ object CorpusQueries {
                array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         FROM k""")),
 
+    // Product-quantization encoding: per-subspace k-means codebooks +
+    // map-only code assignment (see Similarity.pqTrain/pqAssign). Like
+    // q_ivf_trained, the trained means are order-dependent doubles → no
+    // SQL oracle; SimilarityPqSpec carries the determinism/recall
+    // contracts. Scalar code columns (not the array) so the driver's
+    // rows-only checker can sort.
+    Q("q_pq_codes",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+          dims = 64, m = 4, k = 16, iters = 2)
+        Similarity.pqAssign(emb, cb, "vec_id", "embedding", m = 4, sub = 16)
+          .select(col("vec_id"),
+            element_at(col("code"), 1).as("c1"),
+            element_at(col("code"), 2).as("c2"),
+            element_at(col("code"), 3).as("c3"),
+            element_at(col("code"), 4).as("c4"))
+      },
+      None),
+
+    // End-to-end curation pipeline as ONE declarative plan: Gopher-style
+    // quality gate → bag-of-words exact dedup (earliest doc wins) among the
+    // survivors → per-language corpus yield (raw / post-quality / post-dedup
+    // counts + kept token volume). Catalyst sees the whole chain, so column
+    // pruning and the shared documents scan are optimized globally — the
+    // composition costs one extra window, not a rerun of each stage.
+    Q("q_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = TextFns.tokens(col("text"))
+        val sig = Curation.gopherSignals(docs, "doc_id", "text")
+        val enriched = docs
+          .join(sig.select(col("doc_id"), col("keep")), "doc_id")
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("bag_key",
+            md5(array_join(array_sort(array_distinct(toks)), " ")))
+        val keptIds = enriched.filter(col("keep"))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("bag_key")).orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), lit(true).as("__kept"))
+        enriched.join(keptIds, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("__kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        b AS (
+          SELECT doc_id, len(tk) AS n_words,
+                 CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams,
+                 CASE WHEN len(tk) >= 2
+                      THEN len(list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]))
+                      ELSE 0 END AS n_bigrams_distinct
+          FROM base),
+        tc AS (
+          SELECT doc_id, tk2 AS tok, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(tk) AS tk2 FROM base)
+          GROUP BY 1, 2),
+        pd AS (
+          SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+                 CAST(sum(cnt * length(tok)) AS BIGINT) AS char_sum
+          FROM tc GROUP BY 1),
+        sig AS (
+          SELECT b.doc_id,
+                 coalesce(
+                   b.n_words >= 20 AND b.n_words <= 100000
+                   AND (CAST(pd.char_sum AS DOUBLE) / CAST(b.n_words AS DOUBLE)) >= 2.0
+                   AND (CAST(pd.char_sum AS DOUBLE) / CAST(b.n_words AS DOUBLE)) <= 12.0
+                   AND (CAST(pd.top_cnt AS DOUBLE) / CAST(b.n_words AS DOUBLE)) <= 0.2
+                   AND (CASE WHEN b.n_bigrams > 0
+                         THEN 1.0 - (CAST(b.n_bigrams_distinct AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE))
+                        END) <= 0.3,
+                   false) AS keep
+          FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id),
+        enr AS (
+          SELECT base.doc_id, base.lang, CAST(len(base.tk) AS BIGINT) AS n_tokens,
+                 md5(array_to_string(list_sort(list_distinct(base.tk)), ' ')) AS bag_key,
+                 sig.keep
+          FROM base JOIN sig USING (doc_id)),
+        k AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY bag_key ORDER BY doc_id) AS rn
+            FROM enr WHERE keep)
+          WHERE rn = 1)
+        SELECT enr.lang,
+               count(*) AS n_raw,
+               CAST(sum(CASE WHEN enr.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN enr.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM enr LEFT JOIN k USING (doc_id)
+        GROUP BY enr.lang""")),
+
     // Exact Jaccard set-similarity self-join via AllPairs/PPJoin prefix
     // filtering — the exact complement to the probabilistic MinHash/SimHash
     // paths. Candidates come from an inverted index over each set's rarest

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Contracts of the product-quantization path: code shape and determinism,
+  * and ADC ranking quality against exact L2 ground truth.
+  */
+class SimilarityPqSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private val dims = 64
+  private val m = 4
+  private val sub = dims / m
+  private val k = 16
+
+  private lazy val emb = queries.Q.t(TestSpark.spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val codebook =
+    Similarity.pqTrain(emb, "vec_id", "embedding", dims, m, k, iters = 2).persist()
+  private lazy val codes =
+    Similarity.pqAssign(emb, codebook, "vec_id", "embedding", m, sub).persist()
+
+  test("codebook has m*k sub-centroids of sub dims each") {
+    val shape = codebook.select($"subspace", $"centroid_id", size($"embedding").as("d"))
+      .as[(Int, Long, Int)].collect()
+    assert(shape.length === m * k)
+    assert(shape.forall(_._3 == sub))
+    assert(shape.map(r => (r._1, r._2)).distinct.length === m * k)
+  }
+
+  test("codes are m entries, each a valid centroid id; assignment is deterministic") {
+    val c = codes.select($"vec_id", $"code").as[(Long, Seq[Long])].collect()
+    assert(c.nonEmpty)
+    assert(c.forall(_._2.length == m))
+    assert(c.forall(_._2.forall(cid => cid >= 1 && cid <= k)))
+    val again = Similarity.pqAssign(emb, codebook, "vec_id", "embedding", m, sub)
+      .select($"vec_id", $"code").as[(Long, Seq[Long])].collect()
+    assert(c.toSet === again.toSet)
+  }
+
+  test("ADC top-k ranks near the exact L2 ground truth") {
+    val all = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val query = all.head
+    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val exactTop10 = all.map { case (id, v) => id -> l2sq(query._2, v) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+
+    val adcTop20 = Similarity.pqTopK(
+      codes, codebook, emb.filter($"vec_id" === query._1),
+      "vec_id", "embedding", sub, k = 20)
+      .select($"vec_id").as[Long].collect().toSet
+
+    val hit = exactTop10.intersect(adcTop20).size
+    // random 20-of-500 would expect 0.4 overlap with a fixed 10-set; the
+    // coarse 2-iteration codebook must do far better than chance
+    assert(hit >= 3, s"ADC recall too low: $hit of 10 exact neighbors in top-20")
+    // the query's own vector has the minimum possible ADC distance to itself
+    assert(adcTop20.contains(query._1))
+  }
+}
