@@ -139,7 +139,7 @@ object TextDedup {
     * transform this replaces is an interpreted higher-order function), and
     * the window + groupBy share the doc-id clustering (one exchange).
     */
-  private def hashedNgramSets(
+  private[graft] def hashedNgramSets(
       docs: DataFrame,
       idCol: String,
       blockCols: Seq[String],
@@ -164,7 +164,7 @@ object TextDedup {
     * Takes the intersection as a pre-staged column so the merge walk runs
     * once per pair, not once per reference.
     */
-  private def jaccardFromInter(inter: Column, na: Column, nb: Column): Column =
+  private[graft] def jaccardFromInter(inter: Column, na: Column, nb: Column): Column =
     inter.cast("double") / nullif(na + nb - inter, lit(0)).cast("double")
 
   /** Verify candidate pairs with exact Jaccard over distinct shingle sets;
