@@ -8,31 +8,41 @@ import org.apache.spark.sql.functions._
   * per component, not per pair; transitive duplicates A~B~C must collapse
   * even when (A,C) was never emitted as a pair).
   *
-  * Algorithm: min-label propagation. Every vertex starts labeled with its
-  * own id; each round every vertex takes the minimum label among itself
-  * and its neighbors. After `rounds` iterations a vertex holds the
-  * minimum id reachable within `rounds` hops — with `rounds` >= the
-  * component diameter that is exactly the component's minimum id, a
-  * deterministic canonical group id.
+  * Algorithm: min-label propagation to the fixpoint. Every vertex starts
+  * labeled with its own id; each round every vertex takes the minimum
+  * label among itself and its neighbors; the loop stops the first round
+  * that changes nothing. At the fixpoint every vertex holds its
+  * component's minimum id — a deterministic canonical group id at any
+  * component diameter.
   *
   * Scale shape: each round is one shuffle on the vertex id (groupBy-min
   * with map-side partial mins); the label frame is |V| rows regardless of
   * |E|, and `localCheckpoint` truncates the growing lineage per round.
-  * Near-dup graphs are unions of small dense clusters (diameter 1-2 for
-  * banding candidates), so a small fixed `rounds` reaches the fixpoint —
-  * and a FIXED round count keeps the operator replayable by a SQL oracle
-  * as `rounds` unrolled self-joins. For adversarial long-chain graphs,
+  * The loop runs TO CONVERGENCE — labels only ever decrease, so "no label
+  * changed this round" is equivalent to "sum of labels unchanged", one
+  * cheap decimal aggregate per round rather than a change-detect join. A
+  * fixed round count (the round-3 shape) silently under-merges any chain
+  * longer than 2·rounds; convergence costs one extra round (the one that
+  * observes the fixpoint) and makes the answer the true component minimum
+  * at every diameter. Near-dup graphs are unions of small dense clusters
+  * (diameter 1-2 for banding candidates), so the loop exits after ~3
+  * rounds in practice; `maxRounds` is a runaway valve for pathological
+  * inputs (diameter > maxRounds throws rather than returning a wrong
+  * answer). For graphs where O(diameter) rounds is genuinely too many,
   * alternating large-star/small-star (Kiveris et al.) converges in
   * O(log d) rounds; this min-label form is the right tool for dedup
   * clusters.
   */
 object ConnectedComponents {
 
-  /** Component labels after `rounds` min-label iterations over the
-    * undirected edge list `(aCol, bCol)`. Output: (v, label) — one row per
-    * distinct vertex; `label` = min id within `rounds` hops.
+  /** Component labels at the min-label fixpoint over the undirected edge
+    * list `(aCol, bCol)`. Output: (v, label) — one row per distinct
+    * vertex; `label` = the minimum id in v's connected component.
+    *
+    * @throws IllegalStateException if the fixpoint is not reached within
+    *         `maxRounds` rounds (component diameter > maxRounds).
     */
-  def minLabel(edges: DataFrame, aCol: String, bCol: String, rounds: Int): DataFrame = {
+  def minLabel(edges: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
     // materialize the (possibly expensive) pair-producing pipeline ONCE,
     // BEFORE mirroring: a union of two selects over the raw `edges` plan
     // executes the upstream near-dup join once per branch (the O(block²)
@@ -43,7 +53,15 @@ object ConnectedComponents {
     val und = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
     var labels = und.select(col("x").as("v")).distinct()
       .withColumn("label", col("v"))
-    for (_ <- 0 until rounds) {
+      .localCheckpoint()
+    // decimal(38,0) so the convergence invariant (sum strictly decreases on
+    // any label change) cannot be confused by a bigint overflow wraparound
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // no vertices: already at fixpoint
+    var round = 0
+    while (!converged && round < maxRounds) {
       val viaNeighbor = und
         .join(labels, col("y") === col("v"))
         .select(col("x").as("v"), col("label"))
@@ -51,7 +69,15 @@ object ConnectedComponents {
         .groupBy(col("v"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint()
+      val nextSum = labelSum(labels)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      round += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"min-label propagation did not converge within $maxRounds rounds " +
+        "(component diameter exceeds maxRounds); raise maxRounds or use a " +
+        "star-contraction algorithm for this graph")
     labels
   }
 
@@ -59,8 +85,8 @@ object ConnectedComponents {
     * with its canonical (minimum-id) group representative and a flag for
     * whether the row IS the canonical one.
     */
-  def dedupGroups(pairs: DataFrame, aCol: String, bCol: String, rounds: Int): DataFrame =
-    minLabel(pairs, aCol, bCol, rounds)
+  def dedupGroups(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame =
+    minLabel(pairs, aCol, bCol, maxRounds)
       .select(col("v").as("member_id"), col("label").as("group_id"),
         (col("v") === col("label")).as("is_canonical"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -135,10 +135,13 @@ object Curation {
     * benchmark score is trusted). A test doc whose contamination exceeds
     * the threshold is flagged for removal.
     *
-    * Shape at scale: this is an inverted-index SEMI-join on the gram hash —
-    * one distinct-aggregate over train grams, one shuffle of test grams,
-    * no pairwise comparison anywhere. Grams travel as 8-byte xxhash64
-    * values, not strings; totals are per-row expression work.
+    * Shape at scale: this is an inverted-index SEMI-join on a compact gram
+    * key — one distinct-aggregate over train grams, one shuffle of test
+    * grams, no pairwise comparison anywhere. Grams travel as 16-hex-char
+    * md5 prefixes (8 bytes of entropy), not raw strings; totals are
+    * per-row expression work. md5 (not xxhash64) so the DuckDB oracle can
+    * compute the IDENTICAL join relation — collisions, if any, land on
+    * both sides rather than failing the hash gate asymmetrically.
     */
   def contamination(
       train: DataFrame,
@@ -148,13 +151,14 @@ object Curation {
       nGram: Int,
       threshold: Double): DataFrame = {
     def grams = TextFns.wordShingles(TextFns.tokens(col(textCol)), nGram)
+    def gramKey(c: Column) = substring(md5(c), 1, 16)
     val trainGrams = train
       .select(explode(grams).as("__g"))
-      .select(xxhash64(col("__g")).as("__gh"))
+      .select(gramKey(col("__g")).as("__gh"))
       .distinct()
     val testGrams = test
       .select(col(idCol), explode(grams).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .select(col(idCol), gramKey(col("__g")).as("__gh"))
     val hits = testGrams
       .join(trainGrams, Seq("__gh"), "left_semi")
       .groupBy(col(idCol))

@@ -216,9 +216,13 @@ object Multimodal {
     var data: Option[(Int, Int)] = None     // (offset, size)
     while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(i)
-      val size = u32(i + 4).toInt
+      // Chunk size stays a Long until bounds-checked: a hostile/corrupt u32
+      // size >= 2^31 must not wrap negative, slip past the truncation guard,
+      // and stall the chunk walk (i would stop advancing for e.g. 0xFFFFFFF8).
+      val sizeL = u32(i + 4)
       val body = i + 8
-      if (body + size > bytes.length) return None // truncated chunk
+      if (body.toLong + sizeL > bytes.length) return None // truncated chunk
+      val size = sizeL.toInt // safe: <= bytes.length - body < 2^31 after the guard
       if (id == "fmt " && size >= 16) {
         if (u16(body) != 1) return None // PCM only
         fmt = Some((u16(body + 2), u32(body + 4).toInt, u16(body + 14)))

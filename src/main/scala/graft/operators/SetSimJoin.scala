@@ -30,10 +30,16 @@ import graft.functions.IntersectCardSorted
   *   - candidate generation touches prefix tokens only (a θ=0.9 set of 25
   *     tokens exposes 3, not 25) and the verify step is the codegen'd
   *     merge-walk `IntersectCardSorted` — allocation-free per pair;
-  *   - the signature frame is persisted and used as the broadcast build
-  *     side of both the candidate join and the verify joins: a join
-  *     *shuffled* on the token key would degenerate to one task per hot
-  *     token (see the ngram/simhash lesson in BUILDER_NOTES).
+  *   - the signature frame is persisted and — while it fits — used as the
+  *     broadcast build side of both the candidate join and the verify
+  *     joins. The broadcast is GATED on a row-count threshold
+  *     (`broadcastRowLimit`): beyond it the plan degrades to shuffled
+  *     joins instead of failing on the executor broadcast limit. The
+  *     shuffled fallback is safe here, unlike the ngram/simhash block
+  *     keys (BUILDER_NOTES): candidate generation joins on *prefix*
+  *     tokens, which the rarest-first total order makes low-df by
+  *     construction, and the verify joins shuffle on uniformly
+  *     distributed doc ids — no hot-key degeneracy on either.
   *   - the rank dictionary uses a global row_number over the vocabulary —
   *     fine to ~1e8 vocab; beyond that any total order works for
   *     correctness (e.g. df·2³² | hash(token) after a collision audit),
@@ -55,7 +61,8 @@ object SetSimJoin {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      thetaPct: Int): DataFrame = {
+      thetaPct: Int,
+      broadcastRowLimit: Long = 1000000L): DataFrame = {
     require(thetaPct > 0 && thetaPct <= 100, s"thetaPct must be in (0,100]: $thetaPct")
 
     val toks = tokenSets(docs, idCol, textCol)
@@ -72,20 +79,27 @@ object SetSimJoin {
       .withColumn("n", size(col("sig")))
       .persist()
 
+    // Broadcast gate: count() materializes the persisted frame exactly once
+    // (the joins below reuse the cache). Small corpora keep the zero-shuffle
+    // broadcast plan; large ones degrade to shuffled joins rather than
+    // blowing the executor broadcast limit the scaladoc warns about.
+    val bcast: DataFrame => DataFrame =
+      if (sigs.count() <= broadcastRowLimit) broadcast else identity
+
     // prefix length |x| - ceil(theta*|x|) + 1, in exact integer arithmetic
     val ceilTheta = floor((lit(thetaPct) * col("n") + lit(99)) / lit(100)).cast("int")
     val prefixes = sigs.select(col("id"),
       explode(slice(col("sig"), lit(1), col("n") - ceilTheta + 1)).as("r"))
 
     val cands = prefixes.as("a")
-      .join(broadcast(prefixes.as("b")),
+      .join(bcast(prefixes.as("b")),
         col("a.r") === col("b.r") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
     cands
-      .join(broadcast(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("n").as("n_a"))), "id_a")
-      .join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("n").as("n_b"))), "id_b")
+      .join(bcast(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("n").as("n_a"))), "id_a")
+      .join(bcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("n").as("n_b"))), "id_b")
       .withColumn("inter", IntersectCardSorted(col("sig_a"), col("sig_b")))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * lit(100) >= lit(thetaPct) * col("uni"))

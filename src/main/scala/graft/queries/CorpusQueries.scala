@@ -47,7 +47,7 @@ object CorpusQueries {
     */
   private val SimhashEdgesSql = """
         WITH toks AS (
-          SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+          SELECT doc_id, lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents),
         bits AS (
           SELECT doc_id, lang, j,
                  sum(((CAST(floor((strpos('0123456789abcdef', substr(md5(tk), 1 + (j // 4), 1)) - 1)
@@ -86,13 +86,13 @@ object CorpusQueries {
       },
       Some("""
         SELECT doc_id,
-          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+          len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
           coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                    / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS alpha_ratio,
           coalesce(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
                    / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS punct_ratio,
-          least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) * 0.4
+          least(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) / 50.0, 1.0) * 0.4
             + coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                        / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) * 0.4
             + (1.0 - least(coalesce(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
@@ -117,7 +117,7 @@ object CorpusQueries {
       },
       Some("""
         WITH h AS (
-          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+          SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
         hits AS (
           SELECT doc_id, lang, len(tk) AS n_tok,
             len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS h_de,
@@ -148,7 +148,7 @@ object CorpusQueries {
         .limit(50),
       Some("""
         SELECT tk AS token, count(*) AS n
-        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents)
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents)
         GROUP BY tk ORDER BY n DESC, token LIMIT 50""")),
 
     // Exact dedup under bag-of-words normalization: md5 of the sorted
@@ -159,7 +159,7 @@ object CorpusQueries {
         Dedup.exactDedupGroups(t(s, dir, "documents"), bagKey, col("doc_id"))
       },
       Some("""
-        SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS content_hash,
+        SELECT md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))), ' ')) AS content_hash,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1""")),
 
@@ -173,7 +173,7 @@ object CorpusQueries {
             CASE WHEN len(tk) >= 2
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
                  ELSE [] END AS s
-          FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents))
+          FROM (SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents))
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / CAST(nullif(len(list_distinct(list_concat(a.s, b.s))), 0) AS DOUBLE) AS jaccard
@@ -194,7 +194,7 @@ object CorpusQueries {
             CASE WHEN len(tk) >= 2
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
                  ELSE [] END AS s
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)),
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
         bases AS (
           SELECT doc_id, list_transform(s, x ->
             CAST(list_reduce(list_transform(range(1, 8),
@@ -240,7 +240,7 @@ object CorpusQueries {
       (s, dir) => simhashPairs(s, dir).select(col("a_id"), col("b_id"), col("hamming")),
       Some("""
         WITH toks AS (
-          SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+          SELECT doc_id, lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents),
         bits AS (
           SELECT doc_id, lang, j,
                  sum(((CAST(floor((strpos('0123456789abcdef', substr(md5(tk), 1 + (j // 4), 1)) - 1)
@@ -256,28 +256,26 @@ object CorpusQueries {
         FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""")),
 
-    // Dedup GROUPS from near-dup pairs: 3-round min-label connected
-    // components over the simhash pair graph — transitive duplicates
+    // Dedup GROUPS from near-dup pairs: min-label connected components TO
+    // CONVERGENCE over the simhash pair graph — transitive duplicates
     // (A~B~C without an (A,C) pair) collapse to one canonical (minimum)
-    // doc id. One shuffle per round, |V|-row state, fixed rounds so the
-    // oracle replays the propagation exactly; fixpoint-vs-diameter
-    // semantics in ConnectedComponentsSpec.
+    // doc id at ANY chain length. One shuffle per round, |V|-row state;
+    // the oracle computes the true components via a recursive-CTE
+    // transitive closure, so the green hash proves convergence, not just
+    // replay fidelity of a fixed round budget (round-3 verdict item).
     Q("q_dedup_groups",
       (s, dir) => ConnectedComponents.dedupGroups(
-        simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id", rounds = 3),
+        simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id"),
       Some(s"""$SimhashEdgesSql,
         und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
-        l0 AS (SELECT DISTINCT x AS v, x AS label FROM und),
-        l1 AS (SELECT v, min(label) AS label FROM (
-                 SELECT v, label FROM l0
-                 UNION ALL SELECT u.x, l.label FROM und u JOIN l0 l ON u.y = l.v) GROUP BY v),
-        l2 AS (SELECT v, min(label) AS label FROM (
-                 SELECT v, label FROM l1
-                 UNION ALL SELECT u.x, l.label FROM und u JOIN l1 l ON u.y = l.v) GROUP BY v),
-        l3 AS (SELECT v, min(label) AS label FROM (
-                 SELECT v, label FROM l2
-                 UNION ALL SELECT u.x, l.label FROM und u JOIN l2 l ON u.y = l.v) GROUP BY v)
-        SELECT v AS member_id, label AS group_id, v = label AS is_canonical FROM l3""")),
+        comp AS (
+          SELECT v, min(r) AS label FROM (
+            WITH RECURSIVE reach(v, r) AS (
+              SELECT x, x FROM und
+              UNION
+              SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
+            ) SELECT v, r FROM reach) GROUP BY v)
+        SELECT v AS member_id, label AS group_id, v = label AS is_canonical FROM comp""")),
 
     // Brute-force cosine top-k against a query vector (exact ANN baseline).
     Q("q_cosine_topk",
@@ -482,7 +480,7 @@ object CorpusQueries {
       (s, dir) => Curation.gopherSignals(t(s, dir, "documents"), "doc_id", "text"),
       Some("""
         WITH base AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
         b AS (
           SELECT doc_id, len(tk) AS n_words,
                  CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams,
@@ -523,7 +521,7 @@ object CorpusQueries {
       Some("""
         WITH pairs AS (
           SELECT doc_id, tk AS term, CAST(count(*) AS BIGINT) AS tf
-          FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents)
+          FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents)
           GROUP BY 1, 2),
         scored AS (
           SELECT doc_id, term, tf,
@@ -631,14 +629,15 @@ object CorpusQueries {
                      k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
                    (a, x) -> a + x) AS BIGINT) % 100 AS pb
           FROM documents),
-        tr AS (SELECT DISTINCT unnest(CASE WHEN len(tk) >= 3
-                 THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] ELSE [] END) AS g
-               FROM (SELECT string_split_regex(trim(text), '\s+') AS tk FROM b WHERE pb < 80)),
+        tr AS (SELECT DISTINCT substr(md5(unnest(CASE WHEN len(tk) >= 3
+                 THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] ELSE [] END)), 1, 16) AS gh
+               FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM b WHERE pb < 80)),
         te AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
                  THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] ELSE [] END) AS gs
-               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM b WHERE pb >= 90)),
+               FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM b WHERE pb >= 90)),
         hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
-                 FROM (SELECT doc_id, unnest(gs) AS g FROM te) x JOIN tr USING (g)
+                 FROM (SELECT doc_id, substr(md5(unnest(gs)), 1, 16) AS gh FROM te) x
+                 JOIN tr USING (gh)
                  GROUP BY 1)
         SELECT te.doc_id, CAST(len(te.gs) AS BIGINT) AS n_grams,
                coalesce(h.n_hit, 0) AS n_hit,
@@ -658,8 +657,8 @@ object CorpusQueries {
         t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 48),
       Some("""
         WITH base AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
-                 len(string_split_regex(trim(text), '\s+')) AS n
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk,
+                 len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n
           FROM documents),
         k AS (
           SELECT doc_id, tk,
@@ -722,7 +721,7 @@ object CorpusQueries {
       },
       Some("""
         WITH base AS (
-          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+          SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
         b AS (
           SELECT doc_id, len(tk) AS n_words,
                  CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams,

@@ -30,25 +30,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     parent.keys.map(v => v -> find(v)).toMap
   }
 
-  test("rounds >= diameter reaches the exact components (min id per component)") {
-    val got = ConnectedComponents.minLabel(edges, "a", "b", rounds = 4)
+  test("converges to the exact components (min id per component)") {
+    val got = ConnectedComponents.minLabel(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(got === groundTruth)
     // canonical ids are the component minima
     assert(got.values.toSet === Set(1L, 20L, 30L))
   }
 
-  test("fewer rounds than the diameter under-merges exactly by hop distance") {
-    val got = ConnectedComponents.minLabel(edges, "a", "b", rounds = 1)
+  test("a chain longer than any small fixed round budget still merges fully") {
+    // 9-node path 100-101-...-108: diameter 8. The old fixed rounds=3 form
+    // would have left 108 labeled 105 — convergence must reach 100.
+    val chain = (100L until 108L).map(v => (v, v + 1)).toDF("a", "b")
+    val got = ConnectedComponents.minLabel(chain, "a", "b")
       .as[(Long, Long)].collect().toMap
-    // one hop: 34 only sees 33's initial label
-    assert(got(34L) === 33L)
-    // but the triangles already collapse (diameter 1 within, 2 via bridge)
-    assert(got(2L) === 1L && got(3L) === 1L)
+    assert(got.size === 9)
+    assert(got.values.toSet === Set(100L), s"under-merged: $got")
+  }
+
+  test("maxRounds below the diameter throws instead of under-merging silently") {
+    val chain = (100L until 108L).map(v => (v, v + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(chain, "a", "b", maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("dedupGroups flags exactly one canonical member per group") {
-    val groups = ConnectedComponents.dedupGroups(edges, "a", "b", rounds = 4)
+    val groups = ConnectedComponents.dedupGroups(edges, "a", "b")
     val canon = groups.filter($"is_canonical").select("group_id")
       .as[Long].collect().toSeq
     assert(canon.sorted === Seq(1L, 20L, 30L))

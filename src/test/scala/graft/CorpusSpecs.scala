@@ -261,6 +261,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(wav(Seq(5)).dropRight(1)).isEmpty) // truncated
     assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty)
     assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+    // hostile u32 chunk sizes >= 2^31 must be rejected, not wrapped negative
+    // (a wrapped -8 once left the cursor unmoved => infinite chunk-walk loop)
+    def hostile(size: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      buf.put("LIST".getBytes).putInt(size) // u32 reads as 4294967288 etc.
+      buf.put(new Array[Byte](20))
+      buf.array()
+    }
+    assert(Multimodal.decodeWav(hostile(0xFFFFFFF8)).isEmpty) // even negative-as-int
+    assert(Multimodal.decodeWav(hostile(0x80000000)).isEmpty) // exactly 2^31
+    assert(Multimodal.decodeWav(hostile(0xFFFFFFFF)).isEmpty) // odd max
   }
 
   test("pnmFixture payloads round-trip through the real decoder") {

@@ -52,6 +52,17 @@ class SetSimJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffled fallback (broadcast gate exceeded) is output-identical to the broadcast plan") {
+    val corpus = queries.Q.t(TestSpark.spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // broadcastRowLimit = 0 forces the large-corpus shuffled-join path
+    val got = SetSimJoin.jaccardJoin(corpus.toDF("doc_id", "text"), "doc_id", "text", 80,
+        broadcastRowLimit = 0L)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == bruteForce(corpus, 80))
+    assert(got.nonEmpty)
+  }
+
   test("empty and single-token documents cannot pair spuriously") {
     val docs = Seq[(Long, String)](1L -> "", 2L -> "", 3L -> "a", 4L -> "a", 5L -> "b")
     val got = run(docs, 50)
