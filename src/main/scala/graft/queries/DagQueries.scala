@@ -25,6 +25,8 @@ import Q.{dec2, t}
   *   - q_dag_asset_performance— price sats → fct_asset_prices →
   *                              semantic_asset_performance.sql
   *   - q_dag_customer_overview— semantic_customer_overview.sql over the fct
+  *   - q_dag_price_comparison — fct_asset_price_comparison.sql pivot mart
+  *   - q_dag_news_impact      — fct_asset_news_impact.sql event windows
   *
   * Identity model mirrors the reference generator
   * (`a1_1_raw_data_faker_generator.py:213-215`): corporate "customers" are
@@ -160,7 +162,11 @@ object DagQueries {
           .otherwise(" general notes")).as("title"),
       col("p_type").as("description"),
       concat(lit("https://img.example.com/"), col("p_partkey").cast("string"), lit(".jpg")).as("image"),
-      date_add(lit("2024-01-01").cast("date"), pmod(col("p_partkey"), lit(20)).cast("int"))
+      // news dates sit INSIDE the lineitem ship-date range so the
+      // news-impact event windows (t0/t1/t3/t7) find real prices — a
+      // 2024 fixture date against 1992-1998 prices would make
+      // fct_asset_news_impact vacuously empty and its oracle meaningless
+      date_add(lit("1995-06-01").cast("date"), pmod(col("p_partkey"), lit(20)).cast("int"))
         .cast("timestamp_ntz").as("date"),
       lit("NEWS_API").as("source"))
     val news = newsBase.withColumn("load_timestamp", loadTs)
@@ -371,7 +377,7 @@ object DagQueries {
                       WHEN 2 THEN ' market update' ELSE ' general notes' END AS title,
                  p_type AS description,
                  'https://img.example.com/' || CAST(p_partkey AS VARCHAR) || '.jpg' AS image,
-                 CAST(DATE '2024-01-01' + CAST(p_partkey % 20 AS INTEGER) AS TIMESTAMP) AS date,
+                 CAST(DATE '1995-06-01' + CAST(p_partkey % 20 AS INTEGER) AS TIMESTAMP) AS date,
                  'NEWS_API' AS source,
                  ts.load_timestamp
           FROM part, (SELECT TIMESTAMP '$loadTsLit' AS load_timestamp
@@ -403,7 +409,7 @@ object DagQueries {
                  p_name || CASE p_partkey % 4 WHEN 0 THEN ' crypto surge' WHEN 1 THEN ' stock dip'
                       WHEN 2 THEN ' market update' ELSE ' general notes' END AS title,
                  p_type AS description,
-                 CAST(DATE '2024-01-01' + CAST(p_partkey % 20 AS INTEGER) AS TIMESTAMP) AS date,
+                 CAST(DATE '1995-06-01' + CAST(p_partkey % 20 AS INTEGER) AS TIMESTAMP) AS date,
                  'NEWS_API' AS source,
                  ts.load_timestamp
           FROM part, (SELECT TIMESTAMP '$loadTsLit' AS load_timestamp
@@ -537,6 +543,170 @@ object DagQueries {
                CAST(l.price AS DOUBLE) AS latest_price
         FROM assets a
         LEFT JOIN latest l ON l.symbol = a.asset_symbol AND l.t = a.asset_type""")),
+
+    /** dim_company.sql:29-51 — latest-wins current snapshot over
+      * sat_company_details, grain company_hk.
+      */
+    Q("q_dag_dim_company",
+      (s, dir) => models(s, dir).dimCompany,
+      Some("""
+        SELECT md5(company_id) AS company_hk, company_id, company_name,
+               company_type, country, year_founded
+        FROM (
+          SELECT 'COMP-' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS company_id,
+                 s_name AS company_name,
+                 CASE s_suppkey % 3 WHEN 0 THEN 'LLC' WHEN 1 THEN 'PRIVATE'
+                      ELSE 'PUBLIC' END AS company_type,
+                 'N' || CAST(s_nationkey AS VARCHAR) AS country,
+                 CAST(s_suppkey % 71 + 1950 AS INTEGER) AS year_founded
+          FROM supplier)""")),
+
+    /** semantic_transactions.sql:9-47 — analytics-flat transaction view:
+      * the 5-way fct star left-joined to the asset dim. The hub join is
+      * injective on asset_hk (hub = distinct (symbol, type) keyed by their
+      * md5), so the oracle derives the joined attributes directly from the
+      * sat's normalized symbol/type.
+      */
+    Q("q_dag_semantic_transactions",
+      (s, dir) => models(s, dir).semanticTransactions.select(
+        col("transaction_hk"), col("transaction_id"), col("customer_id"),
+        col("customer_hk"), col("asset_hk"),
+        col("asset_symbol"), col("asset_type"),
+        col("transaction_type"),
+        col("quantity").cast("double").as("quantity"),
+        col("price_per_unit").cast("double").as("price_per_unit"),
+        col("transaction_amount").cast("double").as("transaction_amount"),
+        col("fee_amount").cast("double").as("fee_amount"),
+        col("transaction_timestamp"),
+        col("data_date").cast("timestamp_ntz").as("data_date"),
+        col("record_source"), col("load_timestamp")),
+      Some(s"""$RawSql
+        SELECT t.transaction_hk, t.transaction_id, c.customer_id,
+               c.customer_hk,
+               md5(concat_ws('-', r.u_sym, r.u_type)) AS asset_hk,
+               r.u_sym AS asset_symbol, r.u_type AS asset_type,
+               r.transaction_type,
+               CAST(r.quantity AS DOUBLE) AS quantity,
+               CAST(r.price_per_unit AS DOUBLE) AS price_per_unit,
+               CAST(r.transaction_amount AS DOUBLE) AS transaction_amount,
+               CAST(r.fee_amount AS DOUBLE) AS fee_amount,
+               r.transaction_timestamp, CAST(r.data_date AS TIMESTAMP) AS data_date,
+               r.data_source AS record_source, t.load_timestamp
+        FROM (SELECT md5(transaction_id) AS transaction_hk, transaction_id,
+                     customer_id, load_timestamp FROM raw_tx) t
+        JOIN hub_customer c ON c.customer_id = t.customer_id
+        JOIN sat_tx r ON r.transaction_hk = t.transaction_hk""")),
+
+    /** fct_asset_price_comparison.sql:9-38 — per-source daily price pivot
+      * (grain asset_hk + price_date; BINANCE/COINGECKO/YFINANCE columns).
+      * Each (asset, day, source) group is a single feed row, so the
+      * reference's avg is value-exact and the oracle can select the feed
+      * value directly.
+      */
+    Q("q_dag_price_comparison",
+      (s, dir) => models(s, dir).fctAssetPriceComparison.select(
+        col("asset_hk"),
+        col("price_date").cast("timestamp_ntz").as("price_date"),
+        col("price_binance").cast("double").as("price_binance"),
+        col("price_coingecko").cast("double").as("price_coingecko"),
+        col("price_yfinance").cast("double").as("price_yfinance")),
+      Some(s"""
+        WITH crypto_daily AS (
+          SELECT CASE WHEN l_partkey % 2 = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS symbol,
+                 CAST(l_shipdate AS DATE) AS d,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
+          FROM lineitem GROUP BY 1, 2),
+        crypto_all AS (
+          SELECT symbol, d, upper(f.src) AS src,
+                 CAST(price_sum * CAST(f.factor AS DECIMAL(3,2)) AS DECIMAL(20,8)) AS daily_price
+          FROM crypto_daily,
+               (SELECT 'binance' AS src, '1.00' AS factor
+                UNION ALL SELECT 'coingecko', '1.01'
+                UNION ALL SELECT 'yfinance', '0.99') f),
+        stock_daily AS (
+          SELECT CASE l_partkey % 3 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' ELSE 'NVDA' END AS symbol,
+                 CAST(l_shipdate AS DATE) AS d,
+                 max(CAST(l_extendedprice AS DECIMAL(12,2))) AS hi
+          FROM lineitem GROUP BY 1, 2),
+        prices AS (
+          SELECT md5(concat_ws('-', symbol, 'CRYPTO')) AS asset_hk, d, src, daily_price
+          FROM crypto_all
+          UNION ALL
+          SELECT md5(concat_ws('-', symbol, 'STOCK')), d, 'YFINANCE',
+                 CAST(hi AS DECIMAL(20,8))
+          FROM stock_daily)
+        SELECT asset_hk, CAST(d AS TIMESTAMP) AS price_date,
+               CAST(max(CASE WHEN src = 'BINANCE' THEN daily_price END) AS DOUBLE) AS price_binance,
+               CAST(max(CASE WHEN src = 'COINGECKO' THEN daily_price END) AS DOUBLE) AS price_coingecko,
+               CAST(max(CASE WHEN src = 'YFINANCE' THEN daily_price END) AS DOUBLE) AS price_yfinance
+        FROM prices GROUP BY 1, 2""")),
+
+    /** fct_asset_news_impact.sql:9-88 — news × daily-price event windows
+      * at t0/t1/t3/t7 with derived post-news returns, over the deduped
+      * news scrape and both price sats. The crypto daily avg over the
+      * three feeds (1.00x / 1.01x / 0.99x) is exactly the base price, so
+      * the oracle uses the closed form; returns are IEEE-double with one
+      * operation order on both sides.
+      */
+    Q("q_dag_news_impact",
+      (s, dir) => models(s, dir).fctAssetNewsImpact.select(
+        col("news_hk"), col("asset_hk"),
+        col("news_date").cast("timestamp_ntz").as("news_date"),
+        col("v_t0").cast("double").as("price_t0"),
+        col("v_t1").cast("double").as("price_t1"),
+        col("v_t3").cast("double").as("price_t3"),
+        col("v_t7").cast("double").as("price_t7"),
+        col("return_1d"), col("return_3d"), col("return_7d")),
+      Some(s"""
+        WITH raw_news AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS ticker,
+                 'CRYPTO' AS asset_type,
+                 'https://news.example.com/p/' || CAST(p_partkey AS VARCHAR) AS url,
+                 CAST(DATE '1995-06-01' + CAST(p_partkey % 20 AS INTEGER) AS TIMESTAMP) AS date,
+                 ts.load_timestamp
+          FROM part, (SELECT TIMESTAMP '$loadTsLit' AS load_timestamp
+                      UNION ALL SELECT TIMESTAMP '2024-01-31 21:00:00') ts),
+        news_assets AS (
+          SELECT md5(url) AS news_hk,
+                 md5(concat_ws('-', ticker, asset_type)) AS asset_hk,
+                 CAST(date AS DATE) AS news_date
+          FROM (SELECT *, row_number() OVER (PARTITION BY url, ticker, asset_type
+                     ORDER BY load_timestamp) AS rn FROM raw_news)
+          WHERE rn = 1),
+        crypto_daily AS (
+          SELECT CASE WHEN l_partkey % 2 = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS symbol,
+                 CAST(l_shipdate AS DATE) AS d,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
+          FROM lineitem GROUP BY 1, 2),
+        stock_daily AS (
+          SELECT CASE l_partkey % 3 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' ELSE 'NVDA' END AS symbol,
+                 CAST(l_shipdate AS DATE) AS d,
+                 max(CAST(l_extendedprice AS DECIMAL(12,2))) AS hi
+          FROM lineitem GROUP BY 1, 2),
+        daily AS (
+          SELECT md5(concat_ws('-', symbol, 'CRYPTO')) AS asset_hk, d,
+                 CAST(price_sum AS DECIMAL(20,8)) AS daily_price
+          FROM crypto_daily
+          UNION ALL
+          SELECT md5(concat_ws('-', symbol, 'STOCK')), d, CAST(hi AS DECIMAL(20,8))
+          FROM stock_daily)
+        SELECT n.news_hk, n.asset_hk, CAST(n.news_date AS TIMESTAMP) AS news_date,
+               CAST(p0.daily_price AS DOUBLE) AS price_t0,
+               CAST(p1.daily_price AS DOUBLE) AS price_t1,
+               CAST(p3.daily_price AS DOUBLE) AS price_t3,
+               CAST(p7.daily_price AS DOUBLE) AS price_t7,
+               (CAST(p1.daily_price AS DOUBLE) - CAST(p0.daily_price AS DOUBLE))
+                 / nullif(CAST(p0.daily_price AS DOUBLE), 0) AS return_1d,
+               (CAST(p3.daily_price AS DOUBLE) - CAST(p0.daily_price AS DOUBLE))
+                 / nullif(CAST(p0.daily_price AS DOUBLE), 0) AS return_3d,
+               (CAST(p7.daily_price AS DOUBLE) - CAST(p0.daily_price AS DOUBLE))
+                 / nullif(CAST(p0.daily_price AS DOUBLE), 0) AS return_7d
+        FROM news_assets n
+        LEFT JOIN daily p0 ON p0.asset_hk = n.asset_hk AND p0.d = n.news_date
+        LEFT JOIN daily p1 ON p1.asset_hk = n.asset_hk AND p1.d = n.news_date + 1
+        LEFT JOIN daily p3 ON p3.asset_hk = n.asset_hk AND p3.d = n.news_date + 3
+        LEFT JOIN daily p7 ON p7.asset_hk = n.asset_hk AND p7.d = n.news_date + 7
+        WHERE p0.daily_price IS NOT NULL""")),
 
     /** dim_customer_history.sql:28-77 — SCD2 version intervals over real
       * multi-load profile history (every 4th customer has a tier upgrade

@@ -389,7 +389,12 @@ final class Models(val raw: Models.Raw) {
   lazy val fctAssetPriceComparison: DataFrame =
     fctAssetPrices
       .groupBy(col("asset_hk"), col("price_date"), upper(col("price_source")).as("__src"))
-      .agg(avg(col("price")).as("daily_price"))
+      // pinned back to the sat's decimal(20,8): the per-(asset,day,source)
+      // group is a single feed row so the avg is value-exact and scale-8
+      // representable — keeping the output scale fixed means a DuckDB
+      // replay converts decimal→double identically (hash-gate parity)
+      .agg(avg(col("price")).cast(org.apache.spark.sql.types.DecimalType(20, 8))
+        .as("daily_price"))
       .groupBy(col("asset_hk"), col("price_date"))
       .pivot("__src", Seq("BINANCE", "COINGECKO", "YFINANCE"))
       .agg(max(col("daily_price")))
@@ -401,12 +406,21 @@ final class Models(val raw: Models.Raw) {
     * derived returns.
     */
   lazy val fctAssetNewsImpact: DataFrame = {
+    // avg pinned back to decimal(20,8): the three crypto feeds are exact
+    // 1.00x/1.01x/0.99x multiples of one base price, so their mean is the
+    // scale-8 base value exactly (and the stock group is a single row) —
+    // a fixed output scale keeps decimal→double conversion identical in a
+    // DuckDB replay of the mart (hash-gate parity)
     val dailyPrices = fctAssetPrices
       .groupBy(col("asset_hk"), col("price_date"))
-      .agg(avg(col("price")).as("daily_price"))
+      .agg(avg(col("price")).cast(org.apache.spark.sql.types.DecimalType(20, 8))
+        .as("daily_price"))
     val newsDates = fctNewsEvents
       .select(col("asset_hk"), col("news_hk"), to_date(col("published_date")).as("news_date"))
-    val ret = (a: Column, b: Column) => (a - b) / nullif(b, lit(0))
+    // returns in IEEE double (explicit casts, one operation order): decimal
+    // division rounds at engine-chosen scales, double +,-,/ is bit-portable
+    val ret = (a: Column, b: Column) =>
+      (a.cast("double") - b.cast("double")) / nullif(b.cast("double"), lit(0d))
     EventWindows.impactJoin(newsDates, dailyPrices, Seq("asset_hk"),
       "news_date", "price_date", "daily_price", Seq(0, 1, 3, 7))
       .withColumn("return_1d", ret(col("v_t1"), col("v_t0")))
