@@ -5,13 +5,25 @@ import org.apache.spark.sql.functions._
 
 import graft.vault.Models
 
-/** The reference's singular data-quality test corpus (the 20 SQL files
+/** The reference's singular data-quality test corpus (ALL 20 SQL files
   * under `tests/`; pattern: each SELECT must return zero rows —
   * `tests/README_TESTS.md`),
-  * ported one-for-one as violation DataFrames over the engine's model DAG.
+  * ported one-for-one as violation DataFrames over the engine's model DAG,
+  * plus hub/link grain and relationship checks from the schema tests.
   * Names mirror the reference test files.
   */
 object ReferenceTests {
+
+  /** The reference's email well-formedness predicate, translated LIKE for
+    * LIKE (`tests/test_email_format_valid.sql:10-15`): null emails pass;
+    * otherwise require the \%_@_%._%\ shape, no leading/trailing @, and
+    * length >= 5. Exposed so a spec can prove the check DETECTS malformed
+    * values (the fixture corpus itself is clean by construction).
+    */
+  def emailFormatValid(email: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    email.isNull || (
+      email.like("%@%.%") && !email.like("@%") && !email.like("%@") &&
+        length(email) >= 5 && email.like("%_@_%._%"))
 
   /** All ported singular tests over a model DAG input. */
   def all(models: Models): Seq[(String, DataFrame)] = {
@@ -101,6 +113,22 @@ object ReferenceTests {
       // test_year_founded_reasonable.sql
       "year_founded_reasonable" -> Checks.invariant(raw.corporates,
         col("year_founded") >= 1800 && col("year_founded") <= 2026),
+
+      // test_email_format_valid.sql:10-15 — over the current customer dim
+      "email_format_valid" -> Checks.invariant(
+        models.dimCustomer, emailFormatValid(col("email_addr"))),
+
+      // test_week52_price_range_valid.sql — 52-week high >= low on the
+      // latest stock snapshot per symbol (the dim_asset week-52 source)
+      "week52_price_range_valid" -> Checks.invariant(
+        graft.operators.Dedup.latestRows(stock, Seq("symbol"), Seq(col("date").desc)),
+        col("week_52_high").isNull || col("week_52_low").isNull ||
+          col("week_52_high") >= col("week_52_low")),
+
+      // is_active_null.sql — despite the file name, the reference SQL
+      // checks `customer_id is null` on dim_customer (tests/is_active_null
+      // .sql:3-5); ported faithfully to what the test DOES
+      "is_active_null" -> Checks.notNull(models.dimCustomer, Seq("customer_id")),
 
       // schema unique tests: hub/link grain
       "hub_transaction_unique" -> Checks.unique(models.hubTransaction, Seq("transaction_hk")),

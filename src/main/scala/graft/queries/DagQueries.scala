@@ -54,6 +54,8 @@ object DagQueries {
 
     val personalCustomers = cust.select(
       concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 8, "0")).as("customer_id"),
+      concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 8, "0"),
+        lit("@example.com")).as("email_addr"),
       when(col("c_mktsegment") === "BUILDING", "BRONZE")
         .when(col("c_mktsegment") === "AUTOMOBILE", "SILVER")
         .when(col("c_mktsegment") === "MACHINERY", "GOLD")
@@ -73,6 +75,8 @@ object DagQueries {
       .filter(pmod(col("c_custkey"), lit(4)) === 0)
       .select(
         concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 8, "0")).as("customer_id"),
+        concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 8, "0"),
+          lit("@example.com")).as("email_addr"),
         when(col("c_mktsegment") === "BUILDING", "SILVER")
           .when(col("c_mktsegment") === "AUTOMOBILE", "GOLD")
           .when(col("c_mktsegment") === "MACHINERY", "PLATINUM")
@@ -88,6 +92,7 @@ object DagQueries {
     val companyId = concat(lit("COMP-"), lpad(col("s_suppkey").cast("string"), 6, "0"))
     val corporateCustomers = supp.select(
       companyId.as("customer_id"),
+      concat(companyId, lit("@example.com")).as("email_addr"),
       when(pmod(col("s_suppkey"), lit(4)) === 0, "BRONZE")
         .when(pmod(col("s_suppkey"), lit(4)) === 1, "SILVER")
         .when(pmod(col("s_suppkey"), lit(4)) === 2, "GOLD")
@@ -212,6 +217,8 @@ object DagQueries {
         col("__lo").cast(DecimalType(20, 8)).as("low_price"),
         col("__hi").cast(DecimalType(20, 8)).as("close_price"),
         col("__vol").cast(DecimalType(28, 8)).as("volume"),
+        col("__hi").cast(DecimalType(20, 8)).as("week_52_high"),
+        col("__lo").cast(DecimalType(20, 8)).as("week_52_low"),
         loadTs.as("load_timestamp"))
 
     Models.Raw(
@@ -244,6 +251,7 @@ object DagQueries {
     WITH nsupp AS (SELECT count(*) AS n FROM supplier),
     raw_customers AS (
       SELECT 'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS customer_id,
+             'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') || '@example.com' AS email_addr,
              CASE c_mktsegment WHEN 'BUILDING' THEN 'BRONZE' WHEN 'AUTOMOBILE' THEN 'SILVER'
                   WHEN 'MACHINERY' THEN 'GOLD' WHEN 'HOUSEHOLD' THEN 'PLATINUM'
                   ELSE 'BRONZE' END AS customer_tier,
@@ -253,6 +261,7 @@ object DagQueries {
       FROM customer
       UNION ALL
       SELECT 'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0'),
+             'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') || '@example.com',
              CASE c_mktsegment WHEN 'BUILDING' THEN 'SILVER' WHEN 'AUTOMOBILE' THEN 'GOLD'
                   WHEN 'MACHINERY' THEN 'PLATINUM' WHEN 'HOUSEHOLD' THEN 'PLATINUM'
                   ELSE 'SILVER' END,
@@ -262,6 +271,7 @@ object DagQueries {
       FROM customer WHERE c_custkey % 4 = 0
       UNION ALL
       SELECT 'COMP-' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0'),
+             'COMP-' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') || '@example.com',
              CASE s_suppkey % 4 WHEN 0 THEN 'BRONZE' WHEN 1 THEN 'SILVER'
                   WHEN 2 THEN 'GOLD' ELSE 'PLATINUM' END,
              CASE s_nationkey % 3 WHEN 0 THEN 'CONSERVATIVE' WHEN 1 THEN 'MODERATE'
@@ -715,7 +725,7 @@ object DagQueries {
     Q("q_dag_customer_history",
       (s, dir) => models(s, dir).dimCustomerHistory,
       Some(s"""$RawSql
-        SELECT md5(customer_id) AS customer_hk, customer_id,
+        SELECT md5(customer_id) AS customer_hk, customer_id, email_addr,
                customer_tier, risk_tolerance,
                load_timestamp AS effective_from,
                coalesce(lead(load_timestamp) OVER w,

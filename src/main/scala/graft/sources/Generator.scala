@@ -41,6 +41,10 @@ object Generator {
   def customers(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
     spark.range(n).toDF("id").select(
       concat(lit("CUST-"), lpad(col("id").cast("string"), 8, "0")).as("customer_id"),
+      // derivable from the id, always well-formed (the email_format_valid
+      // DQ test expects the pipeline's own data to be clean)
+      concat(lit("cust-"), lpad(col("id").cast("string"), 8, "0"),
+        lit("@example.com")).as("email_addr"),
       weighted(seed, "tier", Seq(
         "BRONZE" -> 0.40, "SILVER" -> 0.30, "GOLD" -> 0.20, "PLATINUM" -> 0.10)).as("customer_tier"),
       weighted(seed, "risk", Seq(
@@ -107,7 +111,14 @@ object Generator {
         round(center * ((u01x(seed, "cl", col("symbol"), col("day")) * (spreadUp + spreadDn))
           + (lit(1.0) - spreadDn)), 8).cast("decimal(20,8)").as("close_price"),
         round(u01x(seed, "svol", col("symbol"), col("day")) * 1e7, 0)
-          .cast("decimal(28,8)").as("volume"))
+          .cast("decimal(28,8)").as("volume"),
+        // 52-week range straddles the daily band: high in [1.0, 1.5]x,
+        // low in [0.5, 0.9]x of center — high > low by construction
+        // (reference tests/test_week52_price_range_valid.sql)
+        round(center * (u01x(seed, "w52h", col("symbol"), col("day")) * 0.5 + 1.0), 8)
+          .cast("decimal(20,8)").as("week_52_high"),
+        round(center * (u01x(seed, "w52l", col("symbol"), col("day")) * 0.4 + 0.5), 8)
+          .cast("decimal(20,8)").as("week_52_low"))
   }
 
   /** Crypto news with a keyword pool that exercises the reference's

@@ -282,7 +282,8 @@ final class Models(val raw: Models.Raw) {
     Scd2.intervals(
       raw.customers.select(
         Hashing.surrogateKey(col("customer_id")).as("customer_hk"),
-        col("customer_id"), col("customer_tier"), col("risk_tolerance"),
+        col("customer_id"), col("email_addr"),
+        col("customer_tier"), col("risk_tolerance"),
         col("load_timestamp")),
       Seq("customer_id"), "load_timestamp", Seq(col("load_timestamp")))
       .drop("load_timestamp")

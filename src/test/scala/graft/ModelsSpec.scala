@@ -200,9 +200,24 @@ class ModelsSpec extends AnyFunSuite {
   test("all 20 ported reference DQ tests return zero violations") {
     val results = graft.quality.Checks.summary(graft.quality.ReferenceTests.all(models))
       .as[(String, Long)].collect()
-    assert(results.length >= 20)
+    assert(results.length >= 23)
+    assert(results.map(_._1).toSet.intersect(
+      Set("email_format_valid", "week52_price_range_valid", "is_active_null")).size === 3)
     val failing = results.filter(_._2 > 0)
     assert(failing.isEmpty, s"failing: ${failing.mkString(", ")}")
+  }
+
+  test("email_format_valid DETECTS each malformed shape the reference lists") {
+    // one row per failure mode of tests/test_email_format_valid.sql + valid
+    // controls: nulls and well-formed addresses must pass, nothing else
+    val rows = Seq(
+      "a@b.c" -> true, "cust-1@example.com" -> true, (null: String) -> true,
+      "no-at-sign.com" -> false, "@leading.com" -> false, "trailing@" -> false,
+      "a@b." -> false, "@.c" -> false, "x@y" -> false)
+    val got = rows.map(_._1).toDF("email_addr")
+      .withColumn("ok", graft.quality.ReferenceTests.emailFormatValid($"email_addr"))
+      .select("email_addr", "ok").as[(String, Boolean)].collect().toMap
+    rows.foreach { case (e, want) => assert(got(e) === want, s"email=$e") }
   }
 
   test("semantic overview reconciles with the raw transaction totals") {
