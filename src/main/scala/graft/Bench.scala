@@ -43,7 +43,17 @@ object Bench {
       }
     }
 
-    val results = ordered.map { case (name, fn) =>
+    // the one-time shared-DAG cache fill is timed as its own line instead
+    // of landing on whichever q_dag_* query runs first alphabetically —
+    // per-query numbers then measure the queries, not cache attribution
+    val dagWarm = {
+      val t0 = System.nanoTime()
+      try queries.DagQueries.warmShared(spark, sfDir)
+      catch { case _: Throwable => () }
+      "q_dag_warm" -> (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = dagWarm +: ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
@@ -73,10 +83,19 @@ object Bench {
     try {
       val detail = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+      // machine load at measurement time: bench totals are load-sensitive
+      // (+0.5 s/query uniform drift observed under background load), so the
+      // number is only interpretable next to the 1-minute load average
+      val load1 =
+        try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+        catch { case _: Throwable => -1.0 }
+      val uptimeSec =
+        try scala.io.Source.fromFile("/proc/uptime").mkString.split("\\s+")(0).toDouble
+        catch { case _: Throwable => -1.0 }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
-        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"queries":$detail}""" + "\n")
+        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
     println(fits.getOrElse(line(Seq.empty, total)))

@@ -489,4 +489,16 @@ final class Models(val raw: Models.Raw) {
       satAssetPriceStock, fctTransactions).foreach(_.persist())
     this
   }
+
+  /** Force the shared cache to fill NOW (one count per frame — cheap, the
+    * frames are key-grain). Bench times this as its own `q_dag_warm` line
+    * so the one-time DAG cache fill stops being attributed to whichever
+    * mart query happens to run first.
+    */
+  def materializeShared(): this.type = {
+    Seq(hubCustomer, hubCompany, hubTransaction, hubAsset, ephemeralNews,
+      satNewsContent, ephemeralSatTransactionFull, satAssetPriceCrypto,
+      satAssetPriceStock, fctTransactions).foreach(_.count())
+    this
+  }
 }
