@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, BreadthQueries, CoreQueries, CorpusQueries, DagQueries, Q, ServiceQueries, StatsQueries}
+import graft.queries.{AnalyticsQueries, BreadthQueries, CoreQueries, CorpusQueries, DagQueries, Q, ServiceQueries, StatsQueries, StreamingTwinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,7 @@ object SparkEntry {
   def registered: Seq[Q] =
     CoreQueries.all ++ CorpusQueries.all ++ ServiceQueries.all ++
       AnalyticsQueries.all ++ DagQueries.all ++ BreadthQueries.all ++
-      StatsQueries.all
+      StatsQueries.all ++ StreamingTwinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -130,6 +130,13 @@ object AnalyticsQueries {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
     // Exact percentiles (continuous interpolation) per group.
+    //
+    // SCALE CONTRACT — small-group-only: Spark's exact `percentile`
+    // buffers every value of a group in ONE aggregation buffer on a single
+    // reducer (~20 M doubles per group at 100x this SF). Use it when
+    // groups are bounded (dims, daily partitions); the unbounded-cardinality
+    // path is the mergeable sketch family — approx_percentile in
+    // q_approx_stats (same grouping, bounded state, rank error <= 1/acc).
     Q("q_percentiles",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -191,6 +191,11 @@ object StatsQueries {
     // quarter fractions) is IEEE-exact, so Spark's percentile and DuckDB's
     // quantile_cont agree bit-for-bit. For the general-double case the
     // approx sketch family is q_percentiles / q_approx_stats.
+    //
+    // SCALE CONTRACT — small-group-only, same as q_percentiles: exact
+    // `percentile` holds all group values in one single-reducer buffer;
+    // beyond bounded groups switch to approx_percentile (q_approx_stats),
+    // whose sketch state is fixed-size and mergeable map-side.
     Q("q_quartiles",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

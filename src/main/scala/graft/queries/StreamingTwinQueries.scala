@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Scd2, TextDedup}
+import graft.streaming.{StreamingNearDup, StreamingScd2}
+import Q.t
+
+/** Oracle-backed BATCH twins of the streaming sinks — the exact merge /
+  * match relations the `foreachBatch` sinks publish per micro-batch, run
+  * as plain batch queries so the streaming family contributes hash-graded
+  * rows to the gate, not only MemoryStream specs (round-3 verdict item 7).
+  *
+  * The streaming specs (`StreamingScd2Spec`, `StreamingNearDupSpec`) prove
+  * sink mechanics: idempotent replay, out-of-order merges, versioned
+  * publish. These queries pin the VALUE of the per-batch computation
+  * itself against DuckDB, through the same public functions the sinks
+  * call (`StreamingScd2.merge`, `StreamingNearDup.matchBatch`).
+  */
+object StreamingTwinQueries {
+
+  private val loadTsLit = "2024-01-31 20:00:00"
+  private val laterLoadTsLit = "2024-02-01 20:00:00"
+
+  val all: Seq[Q] = Seq(
+
+    // The key-scoped SCD2 merge (streaming/StreamingScd2.scala:41-67): a
+    // published dimension built from the first customer load, merged with
+    // a late batch of tier upgrades (every 4th customer). The merge
+    // rebuilds ONLY the affected keys' chains and must equal a full-history
+    // SCD2 recompute — which is exactly what the oracle replays.
+    Q("q_stream_scd2_batch",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val custId =
+          concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 8, "0"))
+        val firstLoad = cust.select(
+          custId.as("customer_id"),
+          when(col("c_mktsegment") === "BUILDING", "BRONZE")
+            .when(col("c_mktsegment") === "AUTOMOBILE", "SILVER")
+            .when(col("c_mktsegment") === "MACHINERY", "GOLD")
+            .when(col("c_mktsegment") === "HOUSEHOLD", "PLATINUM")
+            .otherwise("BRONZE").as("customer_tier"),
+          lit(loadTsLit).cast("timestamp_ntz").as("load_timestamp"))
+        val lateBatch = cust.filter(pmod(col("c_custkey"), lit(4)) === 0).select(
+          custId.as("customer_id"),
+          when(col("c_mktsegment") === "BUILDING", "SILVER")
+            .when(col("c_mktsegment") === "AUTOMOBILE", "GOLD")
+            .when(col("c_mktsegment") === "MACHINERY", "PLATINUM")
+            .when(col("c_mktsegment") === "HOUSEHOLD", "PLATINUM")
+            .otherwise("SILVER").as("customer_tier"),
+          lit(laterLoadTsLit).cast("timestamp_ntz").as("load_timestamp"))
+        val published = Scd2.intervals(
+          firstLoad, Seq("customer_id"), "load_timestamp", Seq(col("load_timestamp")))
+        StreamingScd2.merge(
+          Some(published), lateBatch, Seq("customer_id"), "load_timestamp")
+      },
+      Some(s"""
+        WITH rc AS (
+          SELECT 'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS customer_id,
+                 CASE c_mktsegment WHEN 'BUILDING' THEN 'BRONZE' WHEN 'AUTOMOBILE' THEN 'SILVER'
+                      WHEN 'MACHINERY' THEN 'GOLD' WHEN 'HOUSEHOLD' THEN 'PLATINUM'
+                      ELSE 'BRONZE' END AS customer_tier,
+                 TIMESTAMP '$loadTsLit' AS load_timestamp
+          FROM customer
+          UNION ALL
+          SELECT 'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0'),
+                 CASE c_mktsegment WHEN 'BUILDING' THEN 'SILVER' WHEN 'AUTOMOBILE' THEN 'GOLD'
+                      WHEN 'MACHINERY' THEN 'PLATINUM' WHEN 'HOUSEHOLD' THEN 'PLATINUM'
+                      ELSE 'SILVER' END,
+                 TIMESTAMP '$laterLoadTsLit'
+          FROM customer WHERE c_custkey % 4 = 0)
+        SELECT customer_id, customer_tier, load_timestamp,
+               load_timestamp AS effective_from,
+               coalesce(lead(load_timestamp) OVER w,
+                        TIMESTAMP '9999-12-31 00:00:00') AS effective_to,
+               lead(load_timestamp) OVER w IS NULL AS is_current
+        FROM rc
+        WINDOW w AS (PARTITION BY customer_id ORDER BY load_timestamp)""")),
+
+    // Streaming near-dup match of an incoming batch against a pre-indexed
+    // corpus (streaming/StreamingNearDup.scala:66-86), md5 hash family so
+    // the banding is SQL-replayable: corpus = 80% of documents, batch =
+    // the top-10% md5 bucket; LSH candidates probe the index and are
+    // exact-Jaccard verified — the oracle replays banding AND verify.
+    Q("q_stream_neardup_batch",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pb = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+          lit(100L))
+        val index = StreamingNearDup.buildIndex(
+          docs.filter(pb < 80), "doc_id", "text",
+          shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5,
+          family = TextDedup.HexMd5)
+        StreamingNearDup.matchBatch(docs.filter(pb >= 90), "doc_id", "text", index)
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 100 AS pb
+          FROM documents),
+        sh AS (
+          SELECT doc_id, pb,
+            CASE WHEN len(tk) >= 2
+                 THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
+                 ELSE [] END AS s
+          FROM (SELECT doc_id, pb, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM b)
+          WHERE pb < 80 OR pb >= 90),
+        bases AS (
+          SELECT doc_id, pb, list_transform(s, x ->
+            CAST(list_reduce(list_transform(range(1, 8),
+                k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1) * 16^(7-k)),
+              (a, b) -> a + b) AS BIGINT)) AS bs
+          FROM sh WHERE len(s) > 0),
+        sig AS (
+          SELECT doc_id, pb, [list_min(list_transform(bs,
+                   b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
+                 FOR h IN range(0, 12)] AS sg
+          FROM bases),
+        banded AS (
+          SELECT doc_id, pb, bd,
+                 md5(CAST(bd AS VARCHAR) || '|' || array_to_string(sg[bd*3+1:bd*3+3], '|')) AS bh
+          FROM sig, (SELECT unnest(range(0, 4)) AS bd)),
+        cand AS (
+          SELECT DISTINCT bt.doc_id AS doc_id, c.doc_id AS corpus_id
+          FROM banded bt JOIN banded c ON bt.bd = c.bd AND bt.bh = c.bh
+          WHERE bt.pb >= 90 AND c.pb < 80)
+        SELECT cand.doc_id, cand.corpus_id,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_id
+        JOIN sh sb ON sb.doc_id = cand.corpus_id
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) >= 0.5"""))
+  )
+}

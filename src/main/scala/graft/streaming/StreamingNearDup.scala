@@ -33,9 +33,13 @@ object StreamingNearDup {
       shingleWords: Int,
       bands: Int,
       rowsPerBand: Int,
-      threshold: Double)
+      threshold: Double,
+      family: TextDedup.HashFamily = TextDedup.Xx64)
 
-  /** Build (and materialize) the corpus index once. */
+  /** Build (and materialize) the corpus index once. `family` follows
+    * `TextDedup`: Xx64 is the cheap scale path; HexMd5 makes the banding
+    * SQL-replayable (the oracle gate runs `q_stream_neardup_batch` on it).
+    */
   def buildIndex(
       corpus: DataFrame,
       idCol: String,
@@ -43,11 +47,12 @@ object StreamingNearDup {
       shingleWords: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.7): Index = {
+      threshold: Double = 0.7,
+      family: TextDedup.HashFamily = TextDedup.Xx64): Index = {
     val toks = TextFns.tokens(col(textCol))
     val sh = TextFns.wordShingles(toks, shingleWords)
     val banded = TextDedup
-      .bandedSignatures(corpus, idCol, sh, bands, rowsPerBand)
+      .bandedSignatures(corpus, idCol, sh, bands, rowsPerBand, family)
       .withColumnRenamed(idCol, "corpus_id")
       .persist()
     val sets = TextDedup
@@ -55,7 +60,7 @@ object StreamingNearDup {
       .select(col(idCol).as("corpus_id"), col("__set").as("__cs"))
       .persist()
     banded.count(); sets.count() // pay the corpus pass once, up front
-    Index(banded, sets, shingleWords, bands, rowsPerBand, threshold)
+    Index(banded, sets, shingleWords, bands, rowsPerBand, threshold, family)
   }
 
   /** Near-dup pairs of one batch against the index: (doc_id, corpus_id,
@@ -67,7 +72,7 @@ object StreamingNearDup {
     val toks = TextFns.tokens(col(textCol))
     val sh = TextFns.wordShingles(toks, index.shingleWords)
     val banded = TextDedup
-      .bandedSignatures(batch, idCol, sh, index.bands, index.rowsPerBand)
+      .bandedSignatures(batch, idCol, sh, index.bands, index.rowsPerBand, index.family)
     val cands = broadcast(banded)
       .join(index.banded, Seq("band", "band_hash"))
       .select(col(idCol), col("corpus_id"))

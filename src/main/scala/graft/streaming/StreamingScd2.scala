@@ -35,6 +35,34 @@ import graft.operators.Scd2
   */
 object StreamingScd2 {
 
+  /** The key-scoped SCD2 merge itself, as a pure batch function: rebuild
+    * the version chains of the keys present in `batch`, carry every other
+    * key over untouched. This is the exact relation the streaming sink
+    * publishes per micro-batch — exposed so batch callers (and the oracle
+    * gate, `q_stream_scd2_batch`) run the same code path the stream runs.
+    */
+  def merge(
+      target: Option[DataFrame],
+      batch: DataFrame,
+      keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val baseCols = batch.columns.toSeq
+    val incoming = batch.dropDuplicates(keys :+ tsCol)
+    target match {
+      case Some(tgt) =>
+        val affected = incoming.select(keys.map(col): _*).distinct()
+        val untouched = tgt.join(broadcast(affected), keys, "left_anti")
+        val touchedHistory = tgt.join(broadcast(affected), keys, "left_semi")
+          .select(baseCols.map(col): _*)
+        val rebuilt = Scd2.intervals(
+          touchedHistory.unionByName(incoming).dropDuplicates(keys :+ tsCol),
+          keys, tsCol, Seq(col(tsCol)))
+        untouched.unionByName(rebuilt)
+      case None =>
+        Scd2.intervals(incoming, keys, tsCol, Seq(col(tsCol)))
+    }
+  }
+
   /** Merge one micro-batch of version rows into the published dimension at
     * `base` and atomically republish. Exposed for direct testing.
     */
@@ -51,22 +79,7 @@ object StreamingScd2 {
     // — re-merging would read and overwrite the same directory; skip.
     if (Pointer.read(spark, s"$base/_current").contains(path)) return
 
-    val baseCols = batch.columns.toSeq
-    val incoming = batch.dropDuplicates(keys :+ tsCol)
-
-    val merged = Pointer.currentTable(spark, s"$base/_current") match {
-      case Some(tgt) =>
-        val affected = incoming.select(keys.map(col): _*).distinct()
-        val untouched = tgt.join(broadcast(affected), keys, "left_anti")
-        val touchedHistory = tgt.join(broadcast(affected), keys, "left_semi")
-          .select(baseCols.map(col): _*)
-        val rebuilt = Scd2.intervals(
-          touchedHistory.unionByName(incoming).dropDuplicates(keys :+ tsCol),
-          keys, tsCol, Seq(col(tsCol)))
-        untouched.unionByName(rebuilt)
-      case None =>
-        Scd2.intervals(incoming, keys, tsCol, Seq(col(tsCol)))
-    }
+    val merged = merge(Pointer.currentTable(spark, s"$base/_current"), batch, keys, tsCol)
 
     merged.write.mode("overwrite").parquet(path)
     Pointer.write(spark, s"$base/_current", path)
