@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{ConnectedComponents, Dedup, SetSimJoin, Similarity, TextDedup}
+import graft.queries.Q
+
+/** Scale-pressure probe for the dedup/ANN family: replicate the sf0.1
+  * corpus `factor`x (exact copies — the worst case for LSH buckets, since
+  * every copy family shares every band hash) and measure per-stage ROW
+  * COUNTS alongside wall times. The counts are the evidence behind the
+  * 100 TB design claims: candidate pairs must grow with near-dup family
+  * size (bounded by banding/bucket caps), never with corpus², and the
+  * within-cluster ANN verify must stay O(n * cluster_size).
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [factor]"` — writes one
+  * JSON object to /root/repo/SCALE_PROBE.json and prints it.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    def stage(name: String)(df: => DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      stages += ((name, n, (System.nanoTime() - t0) / 1e9))
+      n
+    }
+
+    val docs = Q.t(spark, sfDir, "documents")
+      .withColumn("__k", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") * factor + col("__k")).as("doc_id"),
+        col("lang"), col("text"))
+      .persist()
+    stage("corpus_docs")(docs)
+
+    // exact dedup: fingerprint groupBy with map-side combine
+    stage("exact_dedup_groups")(Dedup.exactDedupGroups(
+      docs, md5(array_join(array_sort(array_distinct(TextFns.tokens(col("text")))), " ")),
+      col("doc_id")))
+
+    // MinHash/LSH ladder, xx64 scale family
+    val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
+    val banded = TextDedup.bandedSignatures(docs, "doc_id", sh, 4, 3).persist()
+    stage("lsh_banded_signature_rows")(banded)
+    stage("lsh_candidate_pairs")(TextDedup.candidatePairs(banded, "doc_id"))
+    val pairs = TextDedup.minhashDupPairs(
+      docs, "doc_id", "text", shingleWords = 2, bands = 4, rowsPerBand = 3,
+      threshold = 0.5).persist()
+    stage("minhash_verified_pairs")(pairs)
+    stage("dedup_group_members")(
+      ConnectedComponents.dedupGroups(pairs.select(col("a_id"), col("b_id")), "a_id", "b_id"))
+
+    // exact set-similarity join (prefix-filtered AllPairs)
+    stage("setsim_pairs_theta80")(SetSimJoin.jaccardJoin(docs, "doc_id", "text", 80))
+
+    // ANN: k-means -> IVF assign -> cluster-blocked near-dup verify
+    val emb = Q.t(spark, sfDir, "embeddings")
+      .withColumn("__k", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("vec_id") * factor + col("__k")).as("vec_id"), col("embedding"))
+      .persist()
+    stage("embeddings")(emb)
+    val k = 64
+    val centroids = Similarity.kmeansFit(emb, "vec_id", "embedding", k, iters = 3).persist()
+    stage("ivf_centroids")(centroids)
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding", "centroid_id")
+      .persist()
+    stage("ivf_assigned")(assigned)
+    val maxCluster = assigned.groupBy(col("cluster_id")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    stage("ivf_near_dup_pairs")(Similarity.ivfNearDupPairs(
+      emb, centroids, "vec_id", "embedding", "centroid_id", threshold = 0.9))
+
+    val load1 =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val body = stages.map { case (n, c, s) =>
+      s"""\"$n\":{\"rows\":$c,\"sec\":${f(s)}}""" }.mkString(",")
+    val json =
+      s"""{"sf_dir":"$sfDir","factor":$factor,"cpus":$cpus,"load1":${f(load1)},""" +
+        s""""ivf_max_cluster":$maxCluster,"stages":{$body}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/SCALE_PROBE.json"), json + "\n")
+    spark.stop()
+    println(json)
+  }
+}
