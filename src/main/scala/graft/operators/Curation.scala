@@ -207,4 +207,63 @@ object Curation {
         size(col("__chunk")).cast("long").as("n_tokens"),
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
+
+  /** Cross-document repeated spans — the boilerplate detector (the
+    * repeated-substring phenomenon of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499, restricted to
+    * fixed-length token spans): every span of `spanTokens` tokens that
+    * occurs in at least `minDocs` DISTINCT documents, with its document
+    * frequency and the smallest containing doc id as a stable anchor.
+    *
+    * Shape at scale: distinct spans per doc (wordShingles) → one explode →
+    * groupBy(span) with map-side combine — a plain inverted-index
+    * aggregate, |output| bounded by vocabulary of frequent spans, never
+    * pairwise. At 100 TB carry spans as md5-prefix keys in the shuffle
+    * (as `contamination` does) and join the strings back for reporting.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int,
+      minDocs: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), spanTokens)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate exposure: the fraction of a document's
+    * distinct `spanTokens`-token spans that are corpus boilerplate (occur
+    * in >= `minDocs` documents). Pipelines drop or downweight documents
+    * whose ratio exceeds a threshold — templated pages, navigation chrome,
+    * license footers.
+    *
+    * Shape at scale: `duplicateSpans` aggregate (span-grain, small) +
+    * one semi-joinable hit count per doc — same inverted-index discipline
+    * as `contamination`; nothing pairwise, no window over the corpus.
+    */
+  def boilerplateRatio(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int,
+      minDocs: Int): DataFrame = {
+    def grams = TextFns.wordShingles(TextFns.tokens(col(textCol)), spanTokens)
+    val hot = duplicateSpans(docs, idCol, textCol, spanTokens, minDocs)
+      .select(col("span"))
+    val hits = docs
+      .select(col(idCol), explode(grams).as("span"))
+      .join(hot, Seq("span"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_boiler"))
+    docs
+      .select(col(idCol), size(grams).cast("long").as("n_spans"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boilerplate_ratio",
+        when(col("n_spans") > 0,
+          col("n_boiler").cast("double") / col("n_spans").cast("double")))
+  }
 }

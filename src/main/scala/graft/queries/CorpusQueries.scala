@@ -669,6 +669,47 @@ object CorpusQueries {
                array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         FROM k""")),
 
+    // Cross-document repeated spans (boilerplate detector): every 5-token
+    // span occurring in >= 2 distinct documents — inverted-index aggregate
+    // with map-side combine, |output| = frequent-span vocabulary, never
+    // pairwise (Lee et al. 2107.06499 restricted to fixed-length spans).
+    Q("q_dup_spans",
+      (s, dir) => Curation.duplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", spanTokens = 5, minDocs = 2),
+      Some("""
+        WITH g AS (
+          SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 5
+                   THEN [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)] ELSE [] END)) AS span
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents))
+        SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc_id
+        FROM g GROUP BY 1 HAVING count(*) >= 2""")),
+
+    // Per-document boilerplate exposure: fraction of a doc's distinct
+    // 5-token spans that are corpus boilerplate — the drop/downweight
+    // signal for templated pages; same inverted-index discipline as
+    // q_decontam, nothing pairwise.
+    Q("q_boilerplate",
+      (s, dir) => Curation.boilerplateRatio(
+        t(s, dir, "documents"), "doc_id", "text", spanTokens = 5, minDocs = 2),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5
+                   THEN [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)] ELSE [] END) AS gs
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
+        hot AS (
+          SELECT span FROM (SELECT unnest(gs) AS span, doc_id FROM sh)
+          GROUP BY 1 HAVING count(*) >= 2),
+        hits AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+          FROM (SELECT doc_id, unnest(gs) AS span FROM sh) x
+          JOIN hot USING (span) GROUP BY 1)
+        SELECT sh.doc_id, CAST(len(sh.gs) AS BIGINT) AS n_spans,
+               coalesce(h.n_boiler, 0) AS n_boiler,
+               CASE WHEN len(sh.gs) > 0
+                    THEN CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / CAST(len(sh.gs) AS DOUBLE)
+               END AS boilerplate_ratio
+        FROM sh LEFT JOIN hits h ON h.doc_id = sh.doc_id""")),
+
     // Product-quantization encoding: per-subspace k-means codebooks +
     // map-only code assignment (see Similarity.pqTrain/pqAssign). Like
     // q_ivf_trained, the trained means are order-dependent doubles → no

@@ -103,4 +103,30 @@ class CurationSpec extends AnyFunSuite {
     val covered = byDoc(1L).flatMap(_.getString(3).split(" ")).toSet
     assert(covered === (1 to 10).map(i => s"t$i").toSet)
   }
+
+  test("duplicateSpans + boilerplateRatio: shared footer flagged, unique prose not") {
+    val footer = "subscribe to our newsletter for updates" // 6 tokens
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $footer"),
+      (2L, s"one two three four five six seven $footer"),
+      (3L, s"unique prose with no shared span at all here"),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val spans = Curation.duplicateSpans(corpus, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly the footer's four 3-gram spans repeat, each in docs {1, 2}
+    assert(spans.length === 4)
+    assert(spans.forall { case (s, n, first) =>
+      n === 2L && first === 1L && footer.contains(s.split(" ").head) })
+    assert(spans.map(_._1).contains("subscribe to our"))
+
+    val ratios = Curation.boilerplateRatio(corpus, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 10 distinct 3-gram spans (12 tokens), 4 boilerplate
+    assert(ratios(1L).getLong(1) === 10L && ratios(1L).getLong(2) === 4L)
+    assert(ratios(1L).getDouble(3) === 4.0 / 10.0)
+    assert(ratios(3L).getLong(2) === 0L && ratios(3L).getDouble(3) === 0.0)
+    // doc 4: shorter than the span -> zero spans, null ratio
+    assert(ratios(4L).getLong(1) === 0L && ratios(4L).isNullAt(3))
+  }
 }
