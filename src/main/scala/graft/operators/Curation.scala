@@ -208,6 +208,37 @@ object Curation {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Feature-hashing (hashing-trick) term-frequency vectorizer
+    * (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    * Learning", ICML'09): token → bucket = md5-derived uniform hash mod
+    * `dims`, term frequency aggregated per (doc, bucket). Output is the
+    * SPARSE long form (doc_id, bucket, tf, weight = tf / doc_tokens) —
+    * the join-friendly representation; pivot to a dense array only at the
+    * consumer when dims is small.
+    *
+    * Shape at scale: one explode + one (doc, bucket) shuffle with
+    * map-side combine; the weight denominator rides along as a per-doc
+    * window-free aggregate (max over the group of a per-row constant).
+    * md5-derived buckets (not xxhash64) keep the assignment
+    * engine-portable — the same recipe as `stratifiedSample`.
+    */
+  def featureHashTf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive: $dims")
+    val toks = TextFns.tokens(col(textCol))
+    docs
+      .select(col(idCol), size(toks).cast("long").as("__n"), explode(toks).as("__tk"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("__tk")), 1, 8), 16, 10).cast("long"), lit(dims.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"), max(col("__n")).as("__n"))
+      .select(col(idCol), col("bucket"), col("tf"),
+        (col("tf").cast("double") / col("__n").cast("double")).as("weight"))
+  }
+
   /** Cross-document repeated spans — the boilerplate detector (the
     * repeated-substring phenomenon of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", arXiv:2107.06499, restricted to

@@ -669,6 +669,27 @@ object CorpusQueries {
                array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         FROM k""")),
 
+    // Feature-hashing TF vectorizer (hashing trick, Weinberger et al.
+    // ICML'09): md5-derived bucket mod 256 per token, sparse long-form
+    // (doc, bucket, tf, weight) — one explode + one shuffle with map-side
+    // combine; the text -> fixed-width-features bridge of every cheap
+    // classifier / similarity stage.
+    Q("q_hash_vectorize",
+      (s, dir) => Curation.featureHashTf(
+        t(s, dir, "documents"), "doc_id", "text", dims = 256),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, len(toks) AS n, unnest(toks) AS tok
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+                FROM documents))
+        SELECT doc_id,
+               CAST(list_reduce(list_transform(range(1, 9),
+                   k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1) * 16^(8-k)),
+                 (a, x) -> a + x) AS BIGINT) % 256 AS bucket,
+               count(*) AS tf,
+               CAST(count(*) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS weight
+        FROM tk GROUP BY 1, 2""")),
+
     // Cross-document repeated spans (boilerplate detector): every 5-token
     // span occurring in >= 2 distinct documents — inverted-index aggregate
     // with map-side combine, |output| = frequent-span vocabulary, never

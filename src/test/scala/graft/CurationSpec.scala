@@ -104,6 +104,18 @@ class CurationSpec extends AnyFunSuite {
     assert(covered === (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("featureHashTf: sparse TF, stable buckets, per-doc weights sum to 1") {
+    val corpus = Seq((1L, "a b a c"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = Curation.featureHashTf(corpus, "doc_id", "text", dims = 16).collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(2)).sum === 4) // tf mass = token count
+    assert(math.abs(d1.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    // the repeated token collapses into ONE bucket row with tf 2
+    assert(d1.count(_.getLong(2) == 2L) === 1)
+    assert(!got.exists(_.getLong(0) == 2L)) // empty doc -> no rows
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+  }
+
   test("duplicateSpans + boilerplateRatio: shared footer flagged, unique prose not") {
     val footer = "subscribe to our newsletter for updates" // 6 tokens
     val corpus = Seq(
