@@ -669,6 +669,48 @@ object CorpusQueries {
                array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         FROM k""")),
 
+    // Canonical selection by QUALITY: the step after near-dup grouping —
+    // each dedup group keeps its highest-quality member (tie -> lowest
+    // doc id), singletons are their own canonical. Composes dedup groups
+    // (simhash pairs -> convergent connected components) with the quality
+    // score; one window over group-sized partitions. This is the
+    // keep-the-best policy real pipelines use instead of keep-the-first.
+    Q("q_canonical_selection",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val groups = ConnectedComponents.dedupGroups(
+          simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id")
+          .select(col("member_id").as("doc_id"), col("group_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("group_id")).orderBy(col("quality").desc, col("doc_id"))
+        docs.select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+          .join(groups, Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+          .withColumn("is_canonical", row_number().over(w) === 1)
+      },
+      Some(s"""$SimhashEdgesSql,
+        und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
+        comp AS (
+          SELECT v, min(r) AS label FROM (
+            WITH RECURSIVE reach(v, r) AS (
+              SELECT x, x FROM und
+              UNION
+              SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
+            ) SELECT v, r FROM reach) GROUP BY v),
+        scored AS (
+          SELECT doc_id,
+            least(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) / 50.0, 1.0) * 0.4
+              + coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) * 0.4
+              + (1.0 - least(coalesce(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                                      / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) * 5.0, 1.0)) * 0.2 AS quality
+          FROM documents)
+        SELECT s.doc_id, s.quality,
+               coalesce(c.label, s.doc_id) AS group_id,
+               row_number() OVER (PARTITION BY coalesce(c.label, s.doc_id)
+                                  ORDER BY s.quality DESC, s.doc_id) = 1 AS is_canonical
+        FROM scored s LEFT JOIN comp c ON c.v = s.doc_id""")),
+
     // Feature-hashing TF vectorizer (hashing trick, Weinberger et al.
     // ICML'09): md5-derived bucket mod 256 per token, sparse long-form
     // (doc, bucket, tf, weight) — one explode + one shuffle with map-side

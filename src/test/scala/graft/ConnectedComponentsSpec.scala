@@ -16,19 +16,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L) // chain, diameter 4
   ).toDF("a", "b")
 
-  private def groundTruth: Map[Long, Long] = {
-    // driver-side union-find over the fixture
+  // driver-side union-find reference (canonical label = component min)
+  private def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       parent.getOrElseUpdate(x, x)
       if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
     }
-    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+    es.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     parent.keys.map(v => v -> find(v)).toMap
   }
+
+  private def groundTruth: Map[Long, Long] =
+    unionFind(edges.as[(Long, Long)].collect().toSeq)
 
   test("converges to the exact components (min id per component)") {
     val got = ConnectedComponents.minLabel(edges, "a", "b")
@@ -54,6 +57,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       ConnectedComponents.minLabel(chain, "a", "b", maxRounds = 2).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("matches union-find on seeded random graphs across densities") {
+    // sparse (many components, long paths), medium, and dense (few big
+    // components, small diameter) regimes — same seed every run
+    val rnd = new scala.util.Random(7)
+    for (density <- Seq(0.01, 0.05, 0.25)) {
+      val n = 60L
+      val es = for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < density
+      } yield (a, b)
+      val got = ConnectedComponents.minLabel(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(es), s"density=$density, |E|=${es.size}")
+    }
   }
 
   test("dedupGroups flags exactly one canonical member per group") {
