@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.quality.Checks
-import graft.sources.{CsvSource, Generator}
+import graft.sources.{CsvSource, Generator, JsonSource}
 import graft.vault.DataVault
 import Q.{dec2, t}
 
@@ -192,6 +192,37 @@ object ServiceQueries {
       Some("""
         SELECT TRY_CAST(ck AS BIGINT) AS ck, TRY_CAST(bal AS DOUBLE) AS bal, seg
         FROM read_csv('/tmp/graft_csv_fixture_{SF}/*.csv', header=true, all_varchar=true)""")),
+
+    // JSONL permissive load (TRY_TO_* / ON_ERROR='CONTINUE' parity for
+    // the reference's REST-payload JSON landing): every 7th line is
+    // whole-line garbage -> a row of typed nulls; every 10th has a
+    // type-mismatched numeric field -> null in THAT field only, rest of
+    // the record intact. Spark PERMISSIVE and DuckDB read_json
+    // ignore_errors agree on BOTH behaviors (spec'd in JsonSourceSpec).
+    Q("q_jsonl_permissive",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val path = s"/tmp/graft_jsonl_fixture_${new java.io.File(dir).getName}"
+        val line = when(pmod(col("c_custkey"), lit(7)) === 0,
+          lit("oops not json at all"))
+          .otherwise(concat(
+            lit("{\"ck\": "),
+            when(pmod(col("c_custkey"), lit(10)) === 0,
+              concat(lit("\"X"), col("c_custkey").cast("string"), lit("\"")))
+              .otherwise(col("c_custkey").cast("string")),
+            lit(", \"bal\": "), dec2(col("c_acctbal")).cast("string"),
+            lit(", \"seg\": \""), col("c_mktsegment"), lit("\"}")))
+        t(s, dir, "customer").select(line.as("value"))
+          .write.mode("overwrite").text(path)
+        JsonSource.readPermissive(s, path, StructType(Seq(
+          StructField("ck", LongType), StructField("bal", DoubleType),
+          StructField("seg", StringType))))
+      },
+      Some("""
+        SELECT ck, bal, seg
+        FROM read_json('/tmp/graft_jsonl_fixture_{SF}/*.txt',
+                       format='newline_delimited', ignore_errors=true,
+                       columns={'ck': 'BIGINT', 'bal': 'DOUBLE', 'seg': 'VARCHAR'})""")),
 
     // S7 — deterministic distributed synthetic generator (faker parity;
     // no SQL oracle: hash-derived values -> driver rows-only check, with
