@@ -42,6 +42,21 @@ object CorpusQueries {
       .withColumn("hamming", TextDedup.hammingDistance(col("__ha"), col("__hb")))
   }
 
+  // The converged dedup-group frame over the simhash pair graph, memoized
+  // per (session, dir) and persisted: q_dedup_groups and
+  // q_canonical_selection both consume it, and the iterative CC loop (the
+  // expensive part — O(log diameter) synchronous rounds) should run once
+  // per process, exactly as a real pipeline materializes its group table
+  // once (same pattern as DagQueries.memo).
+  private val groupsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def dedupGroupsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    groupsMemo.getOrElseUpdate((s, dir),
+      ConnectedComponents.dedupGroups(
+        simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id")
+        .persist())
+
   /** The q_simhash_pairs oracle CTE chain, reused as the edge list of the
     * dedup-group oracle.
     */
@@ -264,8 +279,7 @@ object CorpusQueries {
     // transitive closure, so the green hash proves convergence, not just
     // replay fidelity of a fixed round budget (round-3 verdict item).
     Q("q_dedup_groups",
-      (s, dir) => ConnectedComponents.dedupGroups(
-        simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id"),
+      (s, dir) => dedupGroupsShared(s, dir),
       Some(s"""$SimhashEdgesSql,
         und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
         comp AS (
@@ -678,8 +692,7 @@ object CorpusQueries {
     Q("q_canonical_selection",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val groups = ConnectedComponents.dedupGroups(
-          simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id")
+        val groups = dedupGroupsShared(s, dir)
           .select(col("member_id").as("doc_id"), col("group_id"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("group_id")).orderBy(col("quality").desc, col("doc_id"))
