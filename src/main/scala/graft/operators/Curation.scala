@@ -271,9 +271,13 @@ object Curation {
     * whose ratio exceeds a threshold — templated pages, navigation chrome,
     * license footers.
     *
-    * Shape at scale: `duplicateSpans` aggregate (span-grain, small) +
-    * one semi-joinable hit count per doc — same inverted-index discipline
-    * as `contamination`; nothing pairwise, no window over the corpus.
+    * Shape at scale: span-df aggregate (span-grain, small) + one
+    * semi-joinable hit count per doc — same inverted-index discipline as
+    * `contamination`, and like it the spans travel as 16-hex md5 prefixes
+    * (8 bytes of entropy) through both shuffles, never as raw strings;
+    * md5 keeps the key oracle-computable so implementation and replay
+    * build the IDENTICAL relation, collisions included. Nothing pairwise,
+    * no window over the corpus.
     */
   def boilerplateRatio(
       docs: DataFrame,
@@ -282,11 +286,18 @@ object Curation {
       spanTokens: Int,
       minDocs: Int): DataFrame = {
     def grams = TextFns.wordShingles(TextFns.tokens(col(textCol)), spanTokens)
-    val hot = duplicateSpans(docs, idCol, textCol, spanTokens, minDocs)
-      .select(col("span"))
+    def spanKey(c: Column) = substring(md5(c), 1, 16)
+    val hot = docs
+      .select(explode(grams).as("__s"))
+      .select(spanKey(col("__s")).as("__sk"))
+      .groupBy(col("__sk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select(col("__sk"))
     val hits = docs
-      .select(col(idCol), explode(grams).as("span"))
-      .join(hot, Seq("span"), "left_semi")
+      .select(col(idCol), explode(grams).as("__s"))
+      .select(col(idCol), spanKey(col("__s")).as("__sk"))
+      .join(hot, Seq("__sk"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_boiler"))
     docs

@@ -773,12 +773,12 @@ object CorpusQueries {
                    THEN [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)] ELSE [] END) AS gs
           FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
         hot AS (
-          SELECT span FROM (SELECT unnest(gs) AS span, doc_id FROM sh)
+          SELECT sk FROM (SELECT substr(md5(unnest(gs)), 1, 16) AS sk, doc_id FROM sh)
           GROUP BY 1 HAVING count(*) >= 2),
         hits AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
-          FROM (SELECT doc_id, unnest(gs) AS span FROM sh) x
-          JOIN hot USING (span) GROUP BY 1)
+          FROM (SELECT doc_id, substr(md5(unnest(gs)), 1, 16) AS sk FROM sh) x
+          JOIN hot USING (sk) GROUP BY 1)
         SELECT sh.doc_id, CAST(len(sh.gs) AS BIGINT) AS n_spans,
                coalesce(h.n_boiler, 0) AS n_boiler,
                CASE WHEN len(sh.gs) > 0

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming EXACT duplicate suppression — the stream twin of batch
+  * `dropDuplicates(keys)`, bounded-state by construction: duplicates are
+  * only suppressed while their key can still legally reappear, i.e.
+  * within the event-time watermark (`dropDuplicatesWithinWatermark`,
+  * Structured Streaming's sanctioned shape). The reference's ingest
+  * dedups on business key at load time (`ON CONFLICT DO NOTHING`,
+  * `scripts/kafka/kafka_consumer.py:447-569` upsert); this operator is
+  * that semantics applied before the sink, with state that expires
+  * instead of growing with the corpus.
+  *
+  * Scale shape: keyed state is one entry per key seen within the
+  * watermark horizon — O(arrival rate x horizon), independent of total
+  * corpus size; the output feeds the same idempotent appends the other
+  * sinks use, so at-least-once redelivery cannot double rows either side
+  * of the dedup.
+  */
+object StreamingDedup {
+
+  /** Suppress duplicate `keys` within the `delayThreshold` event-time
+    * watermark on `tsCol`, appending survivors idempotently to `outPath`.
+    */
+  def start(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      delayThreshold: String,
+      outPath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    stream
+      .withWatermark(tsCol, delayThreshold)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // sink idempotence is scoped to (keys, event time), NOT keys
+        // alone: a replayed micro-batch re-emits identical (key, ts)
+        // rows, while a key legitimately REAPPEARING after its dedup
+        // state expired carries a new event time and must append
+        IncrementalIngest.idempotentAppend(batch, outPath, keys :+ tsCol)
+      }
+      .start()
+}
