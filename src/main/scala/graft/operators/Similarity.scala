@@ -302,6 +302,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ search — the composition production ANN engines run (FAISS
+    * `IndexIVFPQ`, non-residual variant): pick the `nprobe` coarse
+    * clusters nearest the query, then run the PQ asymmetric-distance scan
+    * over ONLY the vectors assigned to those clusters. Work per query is
+    * O(nprobe/k_coarse · n) code lookups instead of O(n), on top of PQ's
+    * m-byte-per-vector memory.
+    *
+    * Plan shape: the probed-cluster list is a k_coarse-row in-plan frame
+    * (never collected); candidate restriction is a semi-join on the id —
+    * uniformly distributed, AQE picks broadcast vs shuffle; the ADC table
+    * stays the broadcast m·k lookup of `pqTopK`.
+    */
+  def ivfPqTopK(
+      assigned: DataFrame,
+      codes: DataFrame,
+      codebook: DataFrame,
+      query: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidIdCol: String,
+      nprobe: Int,
+      sub: Int,
+      k: Int): DataFrame = {
+    val q = broadcast(query.select(toDouble(col(vecCol)).as("__q")))
+    val probed = centroids.crossJoin(q)
+      .select(col(centroidIdCol).cast("long").as("cluster_id"),
+        graft.functions.VectorExprs.distSq(toDouble(col(vecCol)), col("__q")).as("__d"))
+      .orderBy(col("__d"), col("cluster_id"))
+      .limit(nprobe)
+      .select(col("cluster_id"))
+    val cands = assigned
+      .join(broadcast(probed), Seq("cluster_id"), "left_semi")
+      .select(col(idCol))
+    pqTopK(codes.join(cands, Seq(idCol), "left_semi"), codebook, query, idCol, vecCol, sub, k)
+  }
+
   /** Hyperplane component (p, i): first 8 hex chars of md5("p|i") as a
     * uint32, scaled to [-0.5, 0.5). Matches the SQL-side derivation
     * bit-for-bit (uint32 < 2^53 is exact in double).

@@ -62,6 +62,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition(term"),
       s"term-partitioned window in the tfidf path:\n$plan")
   }
+
+  test("featureHashTf: exactly one aggregation exchange, no windows or joins") {
+    val docs = (0L until 50L).map(i => (i, s"tok a b tok$i")).toDF("doc_id", "text")
+    val tf = graft.operators.Curation.featureHashTf(docs, "doc_id", "text", 64)
+    val plan = tf.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected ONE (doc,bucket) shuffle, plan:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"vectorizer should be explode+aggregate only:\n$plan")
+  }
+
+  test("duplicateSpans: one inverted-index aggregate, nothing pairwise") {
+    val docs = (0L until 50L).map(i => (i, s"one two three four five tok$i")).toDF("doc_id", "text")
+    val spans = graft.operators.Curation.duplicateSpans(docs, "doc_id", "text", 3, 2)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"span detection must not join documents pairwise:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected a map-side-combined aggregate:\n$plan")
+  }
+
+  test("boilerplateRatio: no cartesian anywhere; hit counting is a semi-join") {
+    val docs = (0L until 50L).map(i => (i, s"one two three four five tok$i")).toDF("doc_id", "text")
+    val br = graft.operators.Curation.boilerplateRatio(docs, "doc_id", "text", 3, 2)
+    val plan = br.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate scoring must stay inverted-index shaped:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected a semi-join on the span key:\n$plan")
+  }
 }
 
 class BucketingSpec extends AnyFunSuite {

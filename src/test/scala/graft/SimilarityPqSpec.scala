@@ -60,4 +60,36 @@ class SimilarityPqSpec extends AnyFunSuite {
     // the query's own vector has the minimum possible ADC distance to itself
     assert(adcTop20.contains(query._1))
   }
+
+  test("IVF-PQ equals a PQ scan restricted to the probed clusters (composition identity)") {
+    val coarseK = 8
+    val centroids = Similarity.kmeansFit(emb, "vec_id", "embedding", coarseK, iters = 2)
+      .persist()
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding", "centroid_id")
+      .select($"vec_id", $"cluster_id").persist()
+    val query = emb.orderBy($"vec_id").limit(1)
+    val qVec = query.select($"embedding").as[Seq[Float]].head()
+    val got = Similarity.ivfPqTopK(
+      assigned, codes, codebook, query, centroids,
+      "vec_id", "embedding", "centroid_id", nprobe = 2, sub = sub, k = 10)
+      .select($"vec_id", $"approx_dist_sq").as[(Long, Double)].collect().toSeq
+
+    // reference: find the 2 nearest coarse clusters driver-side, restrict
+    // the candidate ids, and run the plain ADC scan on that subset
+    def l2sq(a: Seq[Double], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probed = centroids.select($"centroid_id", $"embedding")
+      .as[(Long, Seq[Double])].collect()
+      .map { case (cid, v) => cid -> l2sq(v, qVec) }
+      .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSet
+    val candIds = assigned.as[(Long, Long)].collect()
+      .filter(p => probed.contains(p._2)).map(_._1).toSet
+    val want = Similarity.pqTopK(
+      codes.filter($"vec_id".isin(candIds.toSeq: _*)), codebook, query,
+      "vec_id", "embedding", sub, k = 10)
+      .select($"vec_id", $"approx_dist_sq").as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    // the query's own vector sits in a probed cluster and tops the list
+    assert(got.head._1 === query.select($"vec_id").as[Long].head())
+  }
 }
