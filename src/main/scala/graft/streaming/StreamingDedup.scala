@@ -43,8 +43,12 @@ object StreamingDedup {
         // sink idempotence is scoped to (keys, event time), NOT keys
         // alone: a replayed micro-batch re-emits identical (key, ts)
         // rows, while a key legitimately REAPPEARING after its dedup
-        // state expired carries a new event time and must append
-        IncrementalIngest.idempotentAppend(batch, outPath, keys :+ tsCol)
+        // state expired carries a new event time and must append. The
+        // partitioned variant prunes the conflict-guard scan to the
+        // batch's redelivery window — the guard never rescans table
+        // history (the round-2 unpruned-rescan lesson).
+        IncrementalIngest.idempotentAppendPartitioned(
+          batch, outPath, keys :+ tsCol, tsCol)
       }
       .start()
 }
