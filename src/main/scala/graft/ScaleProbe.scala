@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{ConnectedComponents, Dedup, SetSimJoin, Similarity, TextDedup}
+import graft.operators.{ConnectedComponents, Curation, Dedup, SetSimJoin, Similarity, TextDedup}
 import graft.queries.Q
 
 /** Scale-pressure probe for the dedup/ANN family: replicate the sf0.1
@@ -34,9 +34,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    // a stage that dies (OOM on a deliberately brutal output) records
+    // rows=-1 instead of losing the whole probe's measurements
     def stage(name: String)(df: => DataFrame): Long = {
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = try df.count() catch { case e: Throwable =>
+        System.err.println(s"[probe] $name failed: ${e.getClass.getSimpleName}"); -1L }
       stages += ((name, n, (System.nanoTime() - t0) / 1e9))
       n
     }
@@ -65,8 +68,17 @@ object ScaleProbe {
     stage("dedup_group_members")(
       ConnectedComponents.dedupGroups(pairs.select(col("a_id"), col("b_id")), "a_id", "b_id"))
 
-    // exact set-similarity join (prefix-filtered AllPairs)
-    stage("setsim_pairs_theta80")(SetSimJoin.jaccardJoin(docs, "doc_id", "text", 80))
+    // boilerplate + vectorizer (inverted-index aggregates, never pairwise)
+    stage("dup_spans_5tok_min3")(Curation.duplicateSpans(docs, "doc_id", "text", 5, 3))
+    stage("boilerplate_ratio_rows")(Curation.boilerplateRatio(docs, "doc_id", "text", 5, 3))
+    stage("feature_hash_tf_rows")(Curation.featureHashTf(docs, "doc_id", "text", 256))
+
+    // exact set-similarity join (prefix-filtered AllPairs). theta=0.9:
+    // with 10 exact copies per doc the pair OUTPUT is quadratic in family
+    // size — a theta=0.8 run measured 297M output rows (recorded in
+    // BUILDER_NOTES as the emit-groups-not-pairs lesson); 0.9 keeps the
+    // stage meaningful without deliberately OOMing the probe JVM
+    stage("setsim_pairs_theta90")(SetSimJoin.jaccardJoin(docs, "doc_id", "text", 90))
 
     // ANN: k-means -> IVF assign -> cluster-blocked near-dup verify
     val emb = Q.t(spark, sfDir, "embeddings")
