@@ -397,7 +397,14 @@ object CoreQueries {
         col("c_name").ilike("CUSTOMER%").as("name_ci_prefix"),
         col("c_name").rlike("[0-9]{3}$").as("name_3digit_end"),
         translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lower_vowels"),
-        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null")),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        // convert_timezone('Asia/Bangkok', ...) parity (a1_4:291,399) —
+        // ICT is a fixed +07:00 zone (no DST), so the oracle's interval
+        // shift is value-identical to the tz-database conversion
+        from_utc_timestamp(
+          date_add(lit("1995-01-01").cast("date"), pmod(col("c_custkey"), lit(365)).cast("int"))
+            .cast("timestamp"), "Asia/Bangkok")
+          .cast("timestamp_ntz").as("ict_ts")),
       Some("""
         SELECT c_custkey,
                upper(c_name) AS name_upper,
@@ -414,7 +421,9 @@ object CoreQueries {
                c_name ILIKE 'CUSTOMER%' AS name_ci_prefix,
                regexp_matches(c_name, '[0-9]{3}$') AS name_3digit_end,
                translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
-               nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               CAST(DATE '1995-01-01' + CAST(c_custkey % 365 AS INTEGER) AS TIMESTAMP)
+                 + INTERVAL 7 HOURS AS ict_ts
         FROM customer""")),
 
     // S4-analog — JSON field extraction from string payloads, including
