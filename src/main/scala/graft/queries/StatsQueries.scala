@@ -212,6 +212,46 @@ object StatsQueries {
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // Quantile-bucket assignment (equi-depth bucketing done the
+    // distributed way): quartile boundaries per BOUNDED group (3 return
+    // flags — inside the exact-percentile small-group contract), then a
+    // broadcast join + map-only CASE assigns every row its bucket. No
+    // global sort, no single-partition window — the shape that survives
+    // 100x while `ntile` over a global window does not. Boundaries on
+    // integer-valued doubles are IEEE-exact (q_quartiles precedent).
+    Q("q_quantile_buckets",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val bounds = li.groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("q1"),
+            expr("percentile(l_quantity, 0.5)").as("q2"),
+            expr("percentile(l_quantity, 0.75)").as("q3"))
+        li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+          .join(broadcast(bounds), Seq("l_returnflag"))
+          .withColumn("bucket",
+            when(col("l_quantity") <= col("q1"), 1)
+              .when(col("l_quantity") <= col("q2"), 2)
+              .when(col("l_quantity") <= col("q3"), 3)
+              .otherwise(4))
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("bucket"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag,
+                 quantile_cont(l_quantity, 0.25) AS q1,
+                 quantile_cont(l_quantity, 0.5) AS q2,
+                 quantile_cont(l_quantity, 0.75) AS q3
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
+               CASE WHEN l.l_quantity <= b.q1 THEN 1
+                    WHEN l.l_quantity <= b.q2 THEN 2
+                    WHEN l.l_quantity <= b.q3 THEN 3
+                    ELSE 4 END AS bucket
+        FROM lineitem l JOIN b USING (l_returnflag)""")),
+
     // Time-RANGE window frame: trailing-24-hour activity per user by actual
     // event time (the ROWS-frame cousin is q_moving_avg). Spark's range
     // frame runs over unix_micros — the same inclusive [t-24h, t] interval
