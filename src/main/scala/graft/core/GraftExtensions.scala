@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.IntersectCardSorted
+import graft.functions.{IntersectCardSorted, NfcNormalize, ShingleList, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT intersect_card_sorted(a, b)")`
@@ -22,10 +22,25 @@ object GraftExtensions {
   /** The injected SQL functions (exposed so they can also be registered
     * into an already-running session's FunctionRegistry).
     */
-  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq((
-    FunctionIdentifier("intersect_card_sorted"),
-    new ExpressionInfo(classOf[IntersectCardSorted].getName, "intersect_card_sorted"),
-    (children: Seq[Expression]) => IntersectCardSorted(children(0), children(1))))
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("intersect_card_sorted"),
+      new ExpressionInfo(classOf[IntersectCardSorted].getName, "intersect_card_sorted"),
+      (children: Seq[Expression]) => IntersectCardSorted(children(0), children(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))),
+    (FunctionIdentifier("shingle_list"),
+      new ExpressionInfo(classOf[ShingleList].getName, "shingle_list"),
+      (children: Seq[Expression]) => ShingleList(children(0), foldableInt(children(1), "shingle_list(arr, n)"))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => WordShingles(children(0), foldableInt(children(1), "word_shingles(arr, n)"))))
+
+  private def foldableInt(e: Expression, site: String): Int = e.eval(null) match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$site needs a literal integer n, got: $other")
+  }
 
   /** Register the graft functions into an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

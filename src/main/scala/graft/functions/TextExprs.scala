@@ -58,3 +58,79 @@ object WordShingles {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 }
+
+/** Positional (non-distinct) word-n-gram list: one space-joined n-gram per
+  * starting position, in position order — the sequence form winnowing and
+  * n-gram language models need, where `WordShingles`' distinct SET form
+  * would lose multiplicity and position. Same compiled-loop rationale as
+  * `WordShingles`; fewer than n tokens → empty array.
+  */
+case class ShingleList(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(in: Any): Any =
+    ShingleList.compute(in.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleList.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleList {
+
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Unicode NFC normalization (canonical composition) as a native codegen
+  * expression — Spark ships no normalizer builtin, and a text pipeline
+  * ingesting web data must canonicalize before hashing/dedup or the same
+  * visible string ("café" composed vs decomposed) fingerprints twice.
+  * NFC is fully specified by the Unicode standard (UAX #15), so
+  * `java.text.Normalizer` here and ICU's `nfc_normalize` in the SQL
+  * oracle produce byte-identical output.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(in: Any): Any =
+    NfcNormalize.compute(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // quickCheck-positive strings (the overwhelming hot path on already-
+    // normalized corpora) skip the String round-trip allocation
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

@@ -52,6 +52,26 @@ object TextFns {
         WordShingles(org.apache.spark.sql.graft.Bridge.expression(tokensCol), n)),
       typedLit(Seq.empty[String]))
 
+  /** Positional (non-distinct) word n-grams over a token array, one per
+    * starting position in position order — the sequence form winnowing
+    * fingerprints and n-gram language models consume (multiplicity and
+    * adjacency matter there; the distinct SET form above would lose both).
+    * Fewer than `n` tokens — and null token arrays — yield an empty list.
+    */
+  def shingleList(tokensCol: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graft.Bridge.column(
+        ShingleList(org.apache.spark.sql.graft.Bridge.expression(tokensCol), n)),
+      typedLit(Seq.empty[String]))
+
+  /** Unicode NFC canonical composition (codegen `NfcNormalize` expression).
+    * Normalize BEFORE fingerprinting/dedup: composed and decomposed forms
+    * of the same visible text must hash identically.
+    */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      NfcNormalize(org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** Character n-gram shingles (distinct) — for n-gram Jaccard on short
     * strings. */
   def charShingles(c: Column, n: Int): Column =

@@ -239,6 +239,97 @@ object Curation {
         (col("tf").cast("double") / col("__n").cast("double")).as("weight"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+    * hash every positional `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, and select each window's minimum — the
+    * classic MOSS scheme. The selection guarantee: any match of at least
+    * w+k-1 tokens between two documents shares at least one selected
+    * fingerprint, at an expected density of 2/(w+1) of the gram stream.
+    *
+    * Hashes are 16-hex md5 prefixes compared as strings — engine-portable
+    * (the SQL oracle replays the identical selection) and uniform enough
+    * that the min-selection is unbiased. Documents shorter than one window
+    * still emit their single overall minimum (the standard short-document
+    * convention), so every document with >= k tokens is fingerprinted.
+    *
+    * Shape at scale: selection is entirely per-row (one compiled
+    * `ShingleList` pass + an O(m·w) window-min over string prefixes), then
+    * one explode — no shuffle at all until the consumer aggregates
+    * fingerprints. The natural consumer join (`groupBy(fingerprint)` to
+    * find sharing documents) inherits the boilerplate/`contamination`
+    * inverted-index discipline: output is fingerprint-grain, never
+    * pairwise.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int): DataFrame = {
+    require(k > 0 && w > 0, s"need positive gram size and window: k=$k w=$w")
+    val grams = TextFns.shingleList(TextFns.tokens(col(textCol)), k)
+    val hashes = transform(grams, g => substring(md5(g), 1, 16))
+    val m = size(hashes)
+    val selected = when(m > 0,
+      array_distinct(transform(
+        sequence(lit(1), greatest(m - lit(w) + 1, lit(1))),
+        j => array_min(slice(hashes, j, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol), selected.as("__fps"))
+      .select(col(idCol), explode(col("__fps")).as("fingerprint"))
+  }
+
+  /** Bigram language-model quality score: the corpus itself is the model
+    * (conditional bigram frequencies c(w1 w2)/c(w1 ·)), and each document
+    * scores the MEAN conditional probability of its bigram instances — a
+    * perplexity-style fluency signal (templated/repetitive text scores
+    * high, token soup scores low) built entirely from rational arithmetic.
+    * Deliberate deviation from log-space perplexity: libm log/exp are not
+    * bit-portable across engines, while the probability mean is exact IEEE
+    * division/addition any SQL engine reproduces bit-for-bit — same
+    * rationale as `tfidfTopTerms`' log-free idf. The per-document sum
+    * folds contributions in sorted-bigram order so the double addition is
+    * order-deterministic (hash-verifiable), not partition-dependent.
+    *
+    * Shape at scale: one bigram explode feeding (doc, bigram) counts and
+    * the bigram-grain model (both with map-side combine); prefix totals
+    * are a second tiny aggregate OVER THE MODEL (vocab²-bounded), never
+    * over raw tokens. The model joins back on the bigram key; the "the
+    * ..." prefix family is spread across its many distinct bigrams, and
+    * the prefix-grain side is small enough for AQE to broadcast. The
+    * sorted fold buffers one document's DISTINCT bigrams (bounded by doc
+    * length), not the corpus.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = docs.select(
+      col(idCol),
+      explode(TextFns.shingleList(TextFns.tokens(col(textCol)), 2)).as("__bg"))
+    val docBg = bigrams.groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__dcnt"))
+    val model = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__cbg"))
+      .withColumn("__prefix", substring_index(col("__bg"), " ", 1))
+    val prefixTotals = model.groupBy(col("__prefix")).agg(sum(col("__cbg")).as("__cpre"))
+    val contrib = col("__dcnt").cast("double") *
+      (col("__cbg").cast("double") / col("__cpre").cast("double"))
+    val perDoc = docBg
+      .join(model, Seq("__bg"))
+      .join(prefixTotals, Seq("__prefix"))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("__bg"), contrib.as("__c")))).as("__cs"),
+        sum(col("__dcnt")).as("n_bigrams"))
+      .select(
+        col(idCol), col("n_bigrams"),
+        (aggregate(col("__cs"), lit(0.0), (a, x) => a + x.getField("__c")) /
+          col("n_bigrams").cast("double")).as("avg_cond_prob"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_cond_prob"))
+  }
+
   /** Cross-document repeated spans — the boilerplate detector (the
     * repeated-substring phenomenon of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", arXiv:2107.06499, restricted to

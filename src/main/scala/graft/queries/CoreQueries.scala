@@ -459,6 +459,27 @@ object CoreQueries {
                count(*) AS n, max(value) AS max_value
         FROM events GROUP BY date_trunc('hour', ts), event_type""")),
 
+    // Hopping (sliding) windows — 1-hour windows every 15 minutes, the
+    // overlapping-window semantics Structured Streaming's window() slide
+    // argument provides; each event lands in exactly 4 windows. The oracle
+    // replays the epoch-aligned window set as a 4-offset cross join on
+    // 15-minute buckets (both engines align buckets to midnight).
+    Q("q_hopping_activity",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.moneySum(col("value")).as("sum_value"))
+        .select(
+          col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("window.end").cast("timestamp_ntz").as("win_end"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - to_minutes(15 * k) AS win_start,
+               time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - to_minutes(15 * k) + INTERVAL '1 hour' AS win_end,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        GROUP BY 1, 2, 3""")),
+
     // Sessionization — gap-based lag + cumulative sum (training-data op)
     Q("q_sessions",
       (s, dir) => Sessionize.sessions(

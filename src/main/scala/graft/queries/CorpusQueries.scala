@@ -906,6 +906,73 @@ object CorpusQueries {
                  len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
           FROM d a JOIN d b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni
-        FROM p WHERE inter * 100 >= 90 * uni"""))
+        FROM p WHERE inter * 100 >= 90 * uni""")),
+
+    // Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    // the MOSS scheme): positional 3-gram md5-prefix hashes, window-of-4
+    // minima, distinct per doc. Selection is entirely per-row (codegen
+    // ShingleList + O(m·w) window-min) — zero shuffles before the explode.
+    Q("q_winnow_fp",
+      (s, dir) => Curation.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
+        h AS (
+          SELECT doc_id, [substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 16) FOR i IN range(1, len(tk) - 1)] AS hs
+          FROM toks WHERE len(tk) >= 3),
+        sel AS (
+          SELECT doc_id, list_distinct([list_min(hs[j:j+3]) FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps
+          FROM h)
+        SELECT doc_id, unnest(fps) AS fingerprint FROM sel""")),
+
+    // Bigram-LM fluency score: corpus-conditional bigram probabilities,
+    // mean over each doc's bigram instances — log-free (rational IEEE
+    // arithmetic, like tfidf's idf) with a sorted-bigram sequential fold so
+    // the double sum is order-deterministic and hash-verifiable.
+    Q("q_lm_score",
+      (s, dir) => Curation.lmScore(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
+        bg AS (
+          SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
+          FROM toks WHERE len(tk) >= 2),
+        docbg AS (SELECT doc_id, bg, count(*) AS dcnt FROM bg GROUP BY 1, 2),
+        model AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY 1),
+        pre AS (SELECT split_part(bg, ' ', 1) AS prefix, CAST(sum(cbg) AS BIGINT) AS cpre FROM model GROUP BY 1),
+        scored AS (
+          SELECT d.doc_id, d.bg, d.dcnt,
+                 (CAST(d.dcnt AS DOUBLE) * (CAST(m.cbg AS DOUBLE) / CAST(p.cpre AS DOUBLE))) AS contrib
+          FROM docbg d JOIN model m USING (bg) JOIN pre p ON split_part(d.bg, ' ', 1) = p.prefix),
+        agg AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY bg)), (a, b) -> a + b) AS s,
+                 CAST(sum(dcnt) AS BIGINT) AS nb
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.nb, 0) AS n_bigrams,
+               (a.s / CAST(a.nb AS DOUBLE)) AS avg_cond_prob
+        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
+    // Unicode NFC canonical composition (codegen NfcNormalize expression —
+    // Spark has no normalizer builtin; normalize-before-fingerprint is
+    // mandatory on web corpora). A decomposed suffix ("e" + U+0301,
+    // "A" + U+030A) is appended to every row so the oracle proves REAL
+    // composition work — UAX #15 makes Java Normalizer and DuckDB's ICU
+    // nfc_normalize byte-identical, so even md5 of the result hash-matches.
+    Q("q_unicode_norm",
+      (s, dir) => {
+        val mixed = concat(col("text"), lit(" cafe\u0301 A\u030A"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          length(mixed).as("len_raw"),
+          length(TextFns.nfc(mixed)).as("len_nfc"),
+          md5(TextFns.nfc(mixed)).as("md5_nfc"))
+      },
+      Some("""
+        SELECT doc_id,
+               length(text || ' cafe' || chr(769) || ' A' || chr(778)) AS len_raw,
+               length(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS len_nfc,
+               md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS md5_nfc
+        FROM documents"""))
   )
 }

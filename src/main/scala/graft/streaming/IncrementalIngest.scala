@@ -126,4 +126,26 @@ object IncrementalIngest {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Watermarked HOPPING-window aggregate (overlapping windows of
+    * `windowLen` advancing every `slide`) — the streaming twin of
+    * `q_hopping_activity`. Each event contributes to windowLen/slide
+    * windows; state per key is bounded by the watermark exactly as in the
+    * tumbling form (windows whose end passes the watermark are finalized
+    * and evicted).
+    */
+  def hoppingCounts(
+      stream: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      slide: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
 }

@@ -141,4 +141,53 @@ class CurationSpec extends AnyFunSuite {
     // doc 4: shorter than the span -> zero spans, null ratio
     assert(ratios(4L).getLong(1) === 0L && ratios(4L).isNullAt(3))
   }
+
+  test("winnowFingerprints: window guarantee, short docs, and shared-text overlap") {
+    val k = 3; val w = 4
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      // same text -> identical fingerprint set
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      // >= k tokens but fewer grams than one window -> exactly one fp (overall min)
+      (3L, "tiny doc here now"),
+      // < k tokens -> no fingerprints
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Curation.winnowFingerprints(corpus, "doc_id", "text", k, w)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    assert(got(1L) === got(2L), "identical docs must share all fingerprints")
+    assert(got(3L).size === 1)
+    assert(!got.contains(4L))
+
+    // replay the SIGMOD'03 selection in plain Scala: every window of w
+    // consecutive gram hashes must contain a selected fingerprint, and
+    // every selected fingerprint must be some window's minimum
+    def md5hex16(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    val toks = "the quick brown fox jumps over the lazy dog and runs far away home".split(" ")
+    val hashes = toks.sliding(k).map(g => md5hex16(g.mkString(" "))).toVector
+    val windows = hashes.sliding(w).toVector
+    val expected = windows.map(_.min).toSet
+    assert(got(1L) === expected)
+    assert(windows.forall(win => win.exists(got(1L))), "window coverage guarantee")
+  }
+
+  test("lmScore: hand-computed conditional-bigram means") {
+    val corpus = Seq(
+      (1L, "a b a b"), // bigrams: (a b) x2, (b a) x1
+      (2L, "a b c"),   // bigrams: (a b), (b c)
+      (3L, "x")        // no bigrams
+    ).toDF("doc_id", "text")
+    // model: c(a b)=3, c(b a)=1, c(b c)=1; prefixes: a->3, b->2
+    // p(a b)=1.0, p(b a)=0.5, p(b c)=0.5
+    val got = Curation.lmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 3L)
+    assert(got(1L).getDouble(2) === (2.0 * 1.0 + 1.0 * 0.5) / 3.0)
+    assert(got(2L).getLong(1) === 2L)
+    assert(got(2L).getDouble(2) === (1.0 + 0.5) / 2.0)
+    assert(got(3L).getLong(1) === 0L && got(3L).isNullAt(2))
+  }
 }

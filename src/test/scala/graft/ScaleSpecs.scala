@@ -148,4 +148,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getInt(0)
     assert(n === 2)
   }
+
+  test("nfc_normalize / shingle_list / word_shingles are callable from SQL") {
+    graft.core.GraftExtensions.register(TestSpark.spark)
+    val row = TestSpark.spark.sql(
+      """SELECT nfc_normalize('cafe\u0301') AS nfc,
+               shingle_list(array('x', 'y', 'x', 'y'), 2) AS sl,
+               word_shingles(array('x', 'y', 'x', 'y'), 2) AS ws""")
+      .collect().head
+    assert(row.getString(0) === "caf\u00e9")
+    assert(row.getSeq[String](1) === Seq("x y", "y x", "x y"))
+    assert(row.getSeq[String](2) === Seq("x y", "y x"))
+  }
 }

@@ -129,4 +129,22 @@ class IncrementalIngestSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSeq
     assert(got === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
+
+  test("hoppingCounts: every event lands in windowLen/slide overlapping windows") {
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0)
+    ).toDF("ts", "event_type", "value")
+    val got = IncrementalIngest.hoppingCounts(events, "ts", "1 hour", "15 minutes", "10 minutes")
+    // 4 windows per event (60/15)
+    assert(got.agg(sum($"n")).first().getLong(0) === 8L)
+    // the three windows covering both events aggregate across them
+    val both = got.filter($"n" === 2)
+      .select($"window_start".cast("string"), $"total_value")
+      .as[(String, Double)].collect().toMap
+    assert(both === Map(
+      "2024-01-01 09:30:00" -> 3.0,
+      "2024-01-01 09:45:00" -> 3.0,
+      "2024-01-01 10:00:00" -> 3.0))
+  }
 }
