@@ -64,6 +64,16 @@ object TextFns {
         ShingleList(org.apache.spark.sql.graft.Bridge.expression(tokensCol), n)),
       typedLit(Seq.empty[String]))
 
+  /** Winnowing fingerprint selection over a token array (fused codegen
+    * `WinnowFingerprints`: k-gram md5-16-hex prefixes, window-of-w minima
+    * via monotone deque, distinct). Null/short input → empty array.
+    */
+  def winnowSelect(tokensCol: Column, k: Int, w: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graft.Bridge.column(
+        WinnowFingerprints(org.apache.spark.sql.graft.Bridge.expression(tokensCol), k, w)),
+      typedLit(Seq.empty[String]))
+
   /** Unicode NFC canonical composition (codegen `NfcNormalize` expression).
     * Normalize BEFORE fingerprinting/dedup: composed and decomposed forms
     * of the same visible text must hash identically.

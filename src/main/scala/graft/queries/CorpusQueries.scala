@@ -973,6 +973,107 @@ object CorpusQueries {
                length(text || ' cafe' || chr(769) || ' A' || chr(778)) AS len_raw,
                length(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS len_nfc,
                md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS md5_nfc
-        FROM documents"""))
+        FROM documents""")),
+
+    // Winnowing match detection (MOSS second half): inverted index over
+    // selected fingerprints, over-common fingerprints suppressed (df > 4 —
+    // boilerplate is not match evidence AND the per-fingerprint self-join
+    // stays O(maxDocFreq²)), pairs scored by shared-fingerprint count.
+    Q("q_winnow_matches",
+      (s, dir) => Curation.winnowMatches(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, minShared = 3, maxDocFreq = 4),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
+        h AS (
+          SELECT doc_id, [substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 16) FOR i IN range(1, len(tk) - 1)] AS hs
+          FROM toks WHERE len(tk) >= 3),
+        sel AS (
+          SELECT doc_id, list_distinct([list_min(hs[j:j+3]) FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps
+          FROM h),
+        fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM sel),
+        rare AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= 4),
+        idx AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        FROM idx a JOIN idx b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
+    // End-to-end retrieval composition (the RAG indexing+query path):
+    // chunk → feature-hash TF → cosine top-k against a query string, all
+    // in ONE declarative plan. Cosine is computed on INTEGER tf counts
+    // (exact order-independent sums) with one correctly-rounded sqrt +
+    // division at the end — bit-portable without sequential folds. The
+    // query-vector side is two 1-row broadcast frames; the chunk side is
+    // one explode + one (chunk, bucket) shuffle with map-side combine,
+    // then a bucket-grain broadcast join — nothing pairwise, no corpus-
+    // wide window, embarrassingly parallel at 100 TB.
+    Q("q_chunk_retrieval",
+      (s, dir) => {
+        val dims = 64L
+        def bucket(c: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(dims))
+        val chunks = Curation.chunkTokens(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 48)
+        val cb = chunks
+          .select(col("doc_id"), col("chunk_idx"),
+            explode(TextFns.tokens(col("chunk_text"))).as("__tk"))
+          .groupBy(col("doc_id"), col("chunk_idx"), bucket(col("__tk")).as("bucket"))
+          .agg(count(lit(1)).as("tf"))
+        val qdf = s.range(1)
+          .select(explode(TextFns.tokens(lit("spark hash join batch scan filter"))).as("__tk"))
+          .groupBy(bucket(col("__tk")).as("bucket"))
+          .agg(count(lit(1)).as("qtf"))
+        val qnorm = qdf.agg(sum(col("qtf") * col("qtf")).as("q2"))
+        cb.join(broadcast(qdf), Seq("bucket"), "left")
+          .groupBy(col("doc_id"), col("chunk_idx"))
+          .agg(
+            sum(col("tf") * coalesce(col("qtf"), lit(0L))).as("dot"),
+            sum(col("tf") * col("tf")).as("c2"))
+          .filter(col("dot") > 0)
+          .crossJoin(broadcast(qnorm))
+          .select(col("doc_id"), col("chunk_idx"), col("dot"),
+            (col("dot").cast("double") /
+              (sqrt(col("c2").cast("double")) * sqrt(col("q2").cast("double")))).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id"), col("chunk_idx"))
+          .limit(20)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk,
+                 len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n
+          FROM documents),
+        ch AS (
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS ctoks
+          FROM (SELECT doc_id, tk,
+                       unnest(range(0, CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END + 1)) AS chunk_idx
+                FROM base WHERE n > 0)),
+        cb AS (
+          SELECT doc_id, chunk_idx,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 64 AS bucket,
+                 count(*) AS tf
+          FROM (SELECT doc_id, chunk_idx, unnest(ctoks) AS tok FROM ch)
+          GROUP BY 1, 2, 3),
+        qb AS (
+          SELECT CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 64 AS bucket,
+                 count(*) AS qtf
+          FROM (SELECT unnest(['spark', 'hash', 'join', 'batch', 'scan', 'filter']) AS tok)
+          GROUP BY 1),
+        qn AS (SELECT CAST(sum(qtf * qtf) AS BIGINT) AS q2 FROM qb),
+        sc AS (
+          SELECT doc_id, chunk_idx,
+                 CAST(sum(tf * coalesce(qtf, 0)) AS BIGINT) AS dot,
+                 CAST(sum(tf * tf) AS BIGINT) AS c2
+          FROM cb LEFT JOIN qb USING (bucket)
+          GROUP BY 1, 2)
+        SELECT doc_id, chunk_idx, dot,
+               (CAST(dot AS DOUBLE) / (sqrt(CAST(c2 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE)))) AS cosine
+        FROM sc CROSS JOIN qn WHERE dot > 0
+        ORDER BY cosine DESC, doc_id, chunk_idx LIMIT 20"""))
   )
 }

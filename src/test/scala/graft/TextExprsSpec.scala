@@ -87,6 +87,30 @@ class TextExprsSpec extends AnyFunSuite {
     assert(empties === Map(1 -> 0, 2 -> 0, 3 -> 0))
   }
 
+  test("fused winnowSelect equals the composable HOF selection (random corpora)") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff", "g")
+    val rows = (0 until 300).map { _ =>
+      // lengths 0..11 cover: shorter than k, shorter than one window, long
+      Tuple1(Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("toks")
+    for ((k, w) <- Seq((3, 4), (2, 5), (1, 1))) {
+      val grams = TextFns.shingleList($"toks", k)
+      val hashes = transform(grams, g => substring(md5(g), 1, 16))
+      val m = size(hashes)
+      val hof = when(m > 0,
+        array_distinct(transform(
+          sequence(lit(1), greatest(m - lit(w) + 1, lit(1))),
+          j => array_min(slice(hashes, j, lit(w))))))
+        .otherwise(array().cast("array<string>"))
+      val diff = df.select(
+        TextFns.winnowSelect($"toks", k, w).as("fused"), hof.as("hof"))
+        .filter($"fused" =!= $"hof")
+      assert(diff.count() === 0, s"k=$k w=$w mismatch")
+    }
+  }
+
   test("nfc composes decomposed sequences, is idempotent, and passes nulls through") {
     val decomposed = "cafe\u0301 A\u030Angstro\u0308m"
     val composed = "caf\u00e9 \u00c5ngstr\u00f6m"
