@@ -73,6 +73,19 @@ object ScaleProbe {
     stage("boilerplate_ratio_rows")(Curation.boilerplateRatio(docs, "doc_id", "text", 5, 3))
     stage("feature_hash_tf_rows")(Curation.featureHashTf(docs, "doc_id", "text", 256))
 
+    // winnowing: per-row fused selection, fingerprint-grain index; with
+    // `factor` exact copies every fingerprint's df multiplies by factor,
+    // so the df cap (here 4*factor to keep the probe meaningful) bounds
+    // each bucket's self-join exactly as banding bounds LSH
+    stage("winnow_fingerprint_rows")(
+      Curation.winnowFingerprints(docs, "doc_id", "text", 3, 4))
+    stage("winnow_match_pairs")(
+      Curation.winnowMatches(docs, "doc_id", "text", 3, 4,
+        minShared = 3, maxDocFreq = 4 * factor))
+
+    // bigram LM: two bigram-grain aggregates + bounded per-doc fold
+    stage("lm_score_rows")(Curation.lmScore(docs, "doc_id", "text"))
+
     // exact set-similarity join (prefix-filtered AllPairs). theta=0.9:
     // with 10 exact copies per doc the pair OUTPUT is quadratic in family
     // size — a theta=0.8 run measured 297M output rows (recorded in
