@@ -286,7 +286,14 @@ object Curation {
     * Shape at scale: fingerprint-grain df aggregate → semi-filtered
     * self-join per fingerprint bucket (bounded) → (a,b) pair aggregate
     * with map-side combine. Same banding discipline as MinHash-LSH: the
-    * quadratic never escapes a capped bucket.
+    * quadratic never escapes a capped bucket. The fingerprint frame is
+    * persisted (one selection pass; the df aggregate and both self-join
+    * sides read the cache — unpersisted it computes FOUR times), and the
+    * self-join deliberately carries no broadcast hint: Catalyst/AQE
+    * broadcasts the small side at test scale and falls back to a shuffled
+    * join on the high-cardinality fingerprint key at corpus scale (no
+    * one-task-per-block degeneracy — fingerprints are fine-grained,
+    * unlike the language-block self-joins that must broadcast).
     */
   def winnowMatches(
       docs: DataFrame,
@@ -296,7 +303,7 @@ object Curation {
       w: Int,
       minShared: Int,
       maxDocFreq: Int): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w).persist()
     val rare = fps
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("__df"))

@@ -999,6 +999,25 @@ object CorpusQueries {
         FROM idx a JOIN idx b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    // Heavy hitters via the approx_top_k frequent-items sketch (Spark 4's
+    // DataSketches-backed aggregate) — the single-pass mergeable bounded-
+    // memory scale path for "most frequent items over 100 TB", where an
+    // exact groupBy would be fine but a sketch merges across partitions /
+    // days / streams. Oracle-able HERE because the sketch is provably
+    // EXACT when maxItemsTracked >= |vocabulary| (31 tokens at every SF):
+    // same sketch-with-exactness-contract pattern as ApproxSpec.
+    Q("q_heavy_hitters",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .agg(expr("approx_top_k(token, 50, 10000)").as("__tk"))
+        .select(explode(col("__tk")).as("__e"))
+        .select(col("__e.item").as("token"), col("__e.count").as("n")),
+      Some("""
+        SELECT tk AS token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk
+              FROM documents)
+        GROUP BY 1""")),
+
     // End-to-end retrieval composition (the RAG indexing+query path):
     // chunk → feature-hash TF → cosine top-k against a query string, all
     // in ONE declarative plan. Cosine is computed on INTEGER tf counts
