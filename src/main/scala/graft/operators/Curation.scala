@@ -368,6 +368,38 @@ object Curation {
         col("avg_cond_prob"))
   }
 
+  /** Vocabulary build + corpus encoding — the tokenize-for-training step:
+    * rank tokens by corpus frequency (count desc, token asc — fully
+    * deterministic), keep the top `vocabSize` as ids 1..V, map everything
+    * else to the OOV id 0, and encode every document as positional token
+    * ids. The id assignment is frequency-ranked exactly like real vocab
+    * builds (BPE merges aside), and the long-form output (doc, pos, id)
+    * is the shuffle-friendly shape downstream batching reads.
+    *
+    * Shape at scale: one token-grain aggregate (map-side combine) feeds
+    * the vocab ranking — a window over the token-GRAIN frame (|vocab|
+    * rows, not corpus positions), then a broadcast join encodes positions
+    * map-only. The corpus never shuffles on position.
+    */
+  def vocabEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(
+      col(idCol), posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "__tk")))
+    val vocab = pos.groupBy(col("__tk")).agg(count(lit(1)).as("__n"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("__n").desc, col("__tk"))))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("__tk"), col("token_id"))
+    pos.join(broadcast(vocab), Seq("__tk"), "left")
+      .select(
+        col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+  }
+
   /** Cross-document repeated spans — the boilerplate detector (the
     * repeated-substring phenomenon of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", arXiv:2107.06499, restricted to

@@ -162,6 +162,44 @@ object Similarity {
     * partials per map partition, not vectors), the tiny stats table
     * broadcasts back, and quantization is map-only.
     */
+  /** Sparse sign random projection (Achlioptas 2003, "Database-friendly
+    * random projections"; the Johnson-Lindenstrauss workhorse): out[j] =
+    * Σ_i v[i]·s(i,j) with s(i,j) ∈ {+1,−1} drawn from md5 parity — the
+    * dimensionality-reduction step a pipeline runs BEFORE the ANN tier
+    * when raw embeddings are wide. md5-derived signs (not a seeded RNG)
+    * make the matrix engine-portable and reproducible years later, the
+    * same determinism recipe as `stratifiedSample`.
+    *
+    * Shape at scale: the sign matrix is built ONCE as a 1-row broadcast
+    * frame (outDims×inDims md5 calls total, not per row); each vector
+    * then does an O(inDims·outDims) in-row fold — map-only, no shuffle.
+    * Output is the long form (id, dim, value); ascending-i sequential
+    * folds keep every double bit-portable.
+    */
+  def randomProject(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val sign = (j: Column, i: Column) =>
+      when(conv(substring(md5(concat_ws("_",
+            j.cast("string"), i.cast("string"))), 1, 1), 16, 10).cast("int") % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0))
+    val signs = broadcast(spark.range(1).select(
+      transform(sequence(lit(0), lit(outDims - 1)), j =>
+        transform(sequence(lit(0), lit(inDims - 1)), i => sign(j, i))).as("__m")))
+    vecs
+      .crossJoin(signs)
+      .select(col(idCol),
+        posexplode(transform(col("__m"), mj =>
+          aggregate(
+            zip_with(col(vecCol), mj, (v, s) => v.cast("double") * s),
+            lit(0.0), (a, x) => a + x))).as(Seq("__j", "value")))
+      .select(col(idCol), col("__j").cast("int").as("dim"), col("value"))
+  }
+
   def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val dims = embeddings.select(col(idCol),
       posexplode(toDouble(col(vecCol))).as(Seq("__d0", "__x")))

@@ -999,6 +999,45 @@ object CorpusQueries {
         FROM idx a JOIN idx b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    // Vocabulary build + corpus encoding: top-20 tokens by corpus
+    // frequency become ids 1..20 (deterministic count-desc/token-asc
+    // ranking over the token-GRAIN frame), the tail maps to OOV id 0,
+    // and every document encodes as positional token ids via a broadcast
+    // join — the tokenize-for-training step, corpus never shuffled on
+    // position. vocabSize=20 < |vocab|=31 so the OOV path is exercised.
+    Q("q_token_ids",
+      (s, dir) => Curation.vocabEncode(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 20),
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, unnest([{'pos': i - 1, 'tok': tk[i]} FOR i IN range(1, len(tk) + 1)], recursive := true)
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
+        vocab AS (
+          SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS token_id
+          FROM pos GROUP BY tok QUALIFY token_id <= 20)
+        SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+               CAST(coalesce(v.token_id, 0) AS INT) AS token_id
+        FROM pos p LEFT JOIN vocab v USING (tok)""")),
+
+    // Sparse sign random projection (Achlioptas 2003 / JL): 64-dim
+    // embeddings -> 16 dims via a broadcast md5-parity sign matrix —
+    // map-only, the width-reduction step before the ANN tier. Long-form
+    // output; ascending-i folds keep every double bit-portable.
+    Q("q_random_projection",
+      (s, dir) => Similarity.randomProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", inDims = 64, outDims = 16),
+      Some("""
+        WITH m AS (
+          SELECT j, list_transform(range(0, 64), i ->
+                   CASE WHEN (strpos('0123456789abcdef', substr(md5(j || '_' || i), 1, 1)) - 1) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END) AS mj
+          FROM (SELECT unnest(range(0, 16)) AS j))
+        SELECT e.vec_id, CAST(m.j AS INT) AS dim,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) * m.mj[i]))),
+                 (a, b) -> a + b) AS value
+        FROM embeddings e CROSS JOIN m""")),
+
     // Heavy hitters via the approx_top_k frequent-items sketch (Spark 4's
     // DataSketches-backed aggregate) — the single-pass mergeable bounded-
     // memory scale path for "most frequent items over 100 TB", where an

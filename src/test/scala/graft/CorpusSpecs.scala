@@ -129,6 +129,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(deq - 5.0) <= step / 2 + 1e-12)
   }
 
+  test("randomProject: one-hot vectors read the sign matrix back; projection is linear") {
+    def mdSign(j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+    val d = 5
+    // one-hot e_i -> out[j] must equal s(j, i) exactly
+    val oneHots = (0 until d).map(i =>
+      (i.toLong, Seq.tabulate(d)(x => if (x == i) 1.0f else 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(oneHots, "vec_id", "embedding", inDims = d, outDims = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until d; j <- 0 until 3)
+      assert(got((i.toLong, j)) === mdSign(j, i), s"sign($j,$i)")
+    // integer-valued input: projection of (2,3,0,0,0) = 2*s(j,0) + 3*s(j,1)
+    val v = Seq((9L, Seq(2.0f, 3.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val gv = Similarity.randomProject(v, "vec_id", "embedding", d, 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    for (j <- 0 until 3)
+      assert(gv(j) === 2.0 * mdSign(j, 0) + 3.0 * mdSign(j, 1), s"lin j=$j")
+  }
+
   test("kmeansFit recovers separated clusters and reduces inertia") {
     // three tight clusters around the axes
     val data = (0 until 30).map { i =>

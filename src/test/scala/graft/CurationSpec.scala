@@ -174,6 +174,28 @@ class CurationSpec extends AnyFunSuite {
     assert(windows.forall(win => win.exists(got(1L))), "window coverage guarantee")
   }
 
+  test("winnowMatches: duplicate pair found, boilerplate fingerprints suppressed") {
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val footer = "shared footer spans every document here"
+    val corpus = Seq(
+      (1L, s"$body $footer"),
+      (2L, s"$body $footer"),                            // exact dup of 1
+      (3L, s"totally different words one two three four $footer"),
+      (4L, s"other unrelated prose with nothing shared at all $footer"),
+      (5L, s"fifth doc again nothing in common beyond the tail $footer")
+    ).toDF("doc_id", "text")
+    val got = Curation.winnowMatches(corpus, "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxDocFreq = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // footer fingerprints occur in all 5 docs (> maxDocFreq) -> suppressed;
+    // only the duplicated body can produce >= 2 shared rare fingerprints
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    // and the pair shares ALL of doc 1's rare fingerprints
+    val fps = Curation.winnowFingerprints(
+      corpus.filter($"doc_id" === 1), "doc_id", "text", 3, 4).count()
+    assert(got.head._3 >= 2 && got.head._3 <= fps)
+  }
+
   test("lmScore: hand-computed conditional-bigram means") {
     val corpus = Seq(
       (1L, "a b a b"), // bigrams: (a b) x2, (b a) x1
