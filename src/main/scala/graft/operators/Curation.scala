@@ -400,6 +400,39 @@ object Curation {
         coalesce(col("token_id"), lit(0)).as("token_id"))
   }
 
+  /** Sequence packing — the concat-and-chop batch-prep step of LLM
+    * pre-training: documents are laid end-to-end in a deterministic
+    * per-shard order and cut into fixed `seqLen`-token training windows;
+    * each document learns its token offset interval and which windows
+    * (bins) it spans. Downstream batching reads (shard, bin) groups.
+    *
+    * Shape at scale: ONE cumulative-sum window per shard — the shard
+    * column (language here; (lang, date-bucket) at corpus scale) bounds
+    * each window partition, so no global single-partition window ever
+    * forms; everything else is per-row integer arithmetic. Zero-token
+    * documents occupy no interval and are dropped.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    docs
+      .select(col(shardCol), col(idCol),
+        TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .select(
+        col(shardCol), col(idCol), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"),
+        floor((col("end_offset") - col("n_tokens")) / lit(seqLen.toLong)).as("start_bin"),
+        floor((col("end_offset") - 1L) / lit(seqLen.toLong)).as("end_bin"))
+  }
+
   /** Cross-document repeated spans — the boilerplate detector (the
     * repeated-substring phenomenon of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", arXiv:2107.06499, restricted to

@@ -999,6 +999,29 @@ object CorpusQueries {
         FROM idx a JOIN idx b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    // Sequence packing (concat-and-chop batch prep): per-language shards,
+    // 2048-token training windows; each doc gets its token-offset interval
+    // and spanned bin range from ONE bounded cumulative-sum window per
+    // shard + per-row integer arithmetic.
+    Q("q_seq_pack",
+      (s, dir) => Curation.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", shardCol = "lang", seqLen = 2048),
+      Some("""
+        WITH n AS (
+          SELECT lang, doc_id,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT lang, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS end_offset
+          FROM n WHERE n_tokens > 0)
+        SELECT lang, doc_id, n_tokens,
+               CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+               CAST((end_offset - n_tokens) // 2048 AS BIGINT) AS start_bin,
+               CAST((end_offset - 1) // 2048 AS BIGINT) AS end_bin
+        FROM c""")),
+
     // Vocabulary build + corpus encoding: top-20 tokens by corpus
     // frequency become ids 1..20 (deterministic count-desc/token-asc
     // ranking over the token-GRAIN frame), the tail maps to OOV id 0,

@@ -196,6 +196,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got.head._3 >= 2 && got.head._3 <= fps)
   }
 
+  test("packSequences: offsets, bin spans, shard isolation, empty docs dropped") {
+    val corpus = Seq(
+      (1L, "en", "a b c d"),           // 4 tokens: [0,4)  bins 0-0
+      (2L, "en", "e f g h i"),         // 5 tokens: [4,9)  bins 0-0
+      (3L, "en", "j k l"),             // 3 tokens: [9,12) bins 0-1 (crosses)
+      (4L, "en", ""),                  // dropped
+      (5L, "fr", "x y z")              // own shard: [0,3) bins 0-0
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.packSequences(corpus, "doc_id", "text", "lang", seqLen = 10)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) === ((4L, 0L, 0L, 0L)))
+    assert(got(2L) === ((5L, 4L, 0L, 0L)))
+    assert(got(3L) === ((3L, 9L, 0L, 1L)))
+    assert(!got.contains(4L))
+    assert(got(5L) === ((3L, 0L, 0L, 0L)))
+  }
+
   test("lmScore: hand-computed conditional-bigram means") {
     val corpus = Seq(
       (1L, "a b a b"), // bigrams: (a b) x2, (b a) x1
