@@ -130,6 +130,27 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(got === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("approx_top_k is a valid streaming aggregate: sketches merge across batches") {
+    implicit val sqlCtx = TestSpark.spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("token")
+      .groupBy()
+      .agg(expr("approx_top_k(token, 10, 100)").as("tk"))
+      .writeStream.format("memory").queryName("__hh_sketch")
+      .outputMode("complete").start()
+    try {
+      mem.addData("a", "b", "a")
+      q.processAllAvailable()
+      mem.addData("a", "c", "b")
+      q.processAllAvailable()
+      // tracked (100) >= distinct (3): the merged sketch is exact
+      val got = TestSpark.spark
+        .sql("SELECT explode(tk) AS e FROM __hh_sketch")
+        .select($"e.item", $"e.count").as[(String, Long)].collect().toMap
+      assert(got === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    } finally q.stop()
+  }
+
   test("hoppingCounts: every event lands in windowLen/slide overlapping windows") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
