@@ -188,6 +188,127 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a decoded-BMP feature row (see `decodeBmpFeatures`). */
+  val bmpFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("b00", IntegerType, nullable = true),
+    StructField("g00", IntegerType, nullable = true),
+    StructField("r00", IntegerType, nullable = true)))
+
+  /** A REAL image decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    * BI_RGB) — the Windows raster sibling of netpbm, and the format whose
+    * decode logic netpbm does NOT exercise: little-endian headers,
+    * 4-byte-padded row strides, BGR byte order, and BOTTOM-UP row storage
+    * (negative biHeight = top-down, also handled). Emits per-channel
+    * means plus the (0,0) corner pixel — the corner is deliberately
+    * position-sensitive, so a row-order or stride bug cannot hide behind
+    * order-independent means. None on malformed/truncated input; all
+    * size/offset arithmetic stays in Long (a declared u32 offset near
+    * 2^31 must reject cleanly, not wrap — the decodeWav hostile-input
+    * lesson).
+    */
+  private[graft] def decodeBmp(
+      bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def i32(i: Int): Int = u32(i).toInt
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val off = u32(10)
+    val hdrSize = u32(14)
+    val w = i32(18)
+    val rawH = i32(22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    val planes = u16(26)
+    val bpp = u16(28)
+    val comp = u32(30)
+    if (hdrSize < 40 || w <= 0 || rawH == 0 || h == Int.MinValue ||
+      planes != 1 || bpp != 24 || comp != 0L) return None
+    if (w > (1 << 20) || h > (1 << 20)) return None // absurd-dimension guard
+    val stride = ((3L * w + 3) / 4) * 4
+    if (off < 54L || off + stride * h > bytes.length) return None
+    var sb = 0.0; var sg = 0.0; var sr = 0.0
+    var y = 0
+    while (y < h) {
+      val storedRow = if (topDown) y else h - 1 - y
+      val base = off + storedRow * stride
+      var x = 0
+      while (x < w) {
+        val p = (base + 3L * x).toInt
+        sb += u8(p); sg += u8(p + 1); sr += u8(p + 2)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val c00 = (off + (if (topDown) 0L else (h - 1).toLong * stride)).toInt
+    Some((w, h, sb / n, sg / n, sr / n, u8(c00), u8(c00 + 1), u8(c00 + 2)))
+  }
+
+  /** Deterministic BMP fixture: a real, well-formed bottom-up 24-bit BMP
+    * per id (width 4 + id%5, height 3 + id%4; the LOGICAL top-down pixel
+    * p = y*w + x carries B/G/R = (id*11 + 5p + 0/1/2) % 256) — padding
+    * and row inversion are real, and the decoded features have a closed
+    * form the oracle replays from the logical-position formula alone.
+    */
+  def bmpFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val stride = ((3 * w + 3) / 4) * 4
+      val size = 54 + stride * h
+      val b = new Array[Byte](size)
+      def putU16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+      def putU32(i: Int, v: Long): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+        b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+      }
+      b(0) = 'B'; b(1) = 'M'
+      putU32(2, size); putU32(10, 54)
+      putU32(14, 40); putU32(18, w); putU32(22, h)
+      putU16(26, 1); putU16(28, 24); putU32(30, 0); putU32(34, stride.toLong * h)
+      var y = 0
+      while (y < h) {
+        val base = 54 + (h - 1 - y) * stride // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val p = y * w + x
+          b(base + 3 * x) = ((id * 11 + 5 * p) % 256).toByte
+          b(base + 3 * x + 1) = ((id * 11 + 5 * p + 1) % 256).toByte
+          b(base + 3 * x + 2) = ((id * 11 + 5 * p + 2) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (id, b)
+    }.toDF("doc_id", "content")
+  }
+
+  /** Batched per-partition BMP decode — same map-only shape as
+    * `decodePnmFeatures`, with the real BMP parser inside.
+    */
+  def decodeBmpFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(bmpFeatureSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        decodeBmp(r.getAs[Array[Byte]]("content")) match {
+          case Some((w, h, mb, mg, mr, b00, g00, r00)) =>
+            Row(r.getAs[Long]("doc_id"), w, h, mb, mg, mr, b00, g00, r00)
+          case None =>
+            Row(r.getAs[Long]("doc_id"), null, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Schema of a decoded-audio feature row (see `decodeWavFeatures`). */
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

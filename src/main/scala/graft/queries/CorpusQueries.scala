@@ -999,6 +999,26 @@ object CorpusQueries {
         FROM idx a JOIN idx b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    // Real 24-bit BMP decode (little-endian headers, 4-byte row padding,
+    // BGR order, bottom-up rows): per-channel means + the (0,0) corner
+    // pixel — the corner is position-sensitive, so stride/row-order bugs
+    // cannot hide behind order-independent means. Closed-form oracle over
+    // the logical-position pixel formula.
+    Q("q_bmp_decode",
+      (s, dir) => Multimodal.decodeBmpFeatures(
+        Multimodal.bmpFixture(t(s, dir, "documents"), "doc_id")),
+      Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(sum((doc_id * 11 + 5 * p + 0) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_b,
+               CAST(sum((doc_id * 11 + 5 * p + 1) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_g,
+               CAST(sum((doc_id * 11 + 5 * p + 2) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_r,
+               CAST((doc_id * 11 + 0) % 256 AS INT) AS b00,
+               CAST((doc_id * 11 + 1) % 256 AS INT) AS g00,
+               CAST((doc_id * 11 + 2) % 256 AS INT) AS r00
+        FROM px GROUP BY doc_id, w, h""")),
+
     // Sequence packing (concat-and-chop batch prep): per-language shards,
     // 2048-token training windows; each doc gets its token-offset interval
     // and spanned bin range from ONE bounded cumulative-sum window per

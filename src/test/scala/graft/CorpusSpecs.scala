@@ -297,6 +297,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(hostile(0xFFFFFFFF)).isEmpty) // odd max
   }
 
+  test("decodeBmp really parses BMP: padding, bottom-up vs top-down, rejection") {
+    // 2x2 24-bit BMP, stride 8 (2 pad bytes per row). Logical pixels
+    // (top-down, BGR): (0,0)=(1,2,3) (1,0)=(4,5,6) (0,1)=(7,8,9) (1,1)=(10,11,12)
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+      b.putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+        .putShort(1).putShort(24).putInt(0).putInt(16)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      val row0 = Array[Byte](1, 2, 3, 4, 5, 6, 0, 0)    // logical top row + pad
+      val row1 = Array[Byte](7, 8, 9, 10, 11, 12, 0, 0) // logical bottom row + pad
+      if (topDown) { b.put(row0).put(row1) } else { b.put(row1).put(row0) }
+      b.array()
+    }
+    for (td <- Seq(false, true)) {
+      val Some((w, h, mb, mg, mr, b00, g00, r00)) = Multimodal.decodeBmp(bmp(td))
+      assert((w, h) === (2, 2), s"topDown=$td")
+      assert((mb, mg, mr) === ((1.0 + 4 + 7 + 10) / 4, (2.0 + 5 + 8 + 11) / 4, (3.0 + 6 + 9 + 12) / 4))
+      // corner = LOGICAL (0,0) in both storage orders — row order is real
+      assert((b00, g00, r00) === ((1, 2, 3)), s"topDown=$td")
+    }
+    // rejection: truncation, magic, bpp, compression, hostile offset
+    assert(Multimodal.decodeBmp(bmp(false).dropRight(1)).isEmpty)
+    assert(Multimodal.decodeBmp("XM".getBytes ++ bmp(false).drop(2)).isEmpty)
+    val bpp32 = bmp(false); bpp32(28) = 32; assert(Multimodal.decodeBmp(bpp32).isEmpty)
+    val rle = bmp(false); rle(30) = 1; assert(Multimodal.decodeBmp(rle).isEmpty)
+    val hostileOff = bmp(false)
+    hostileOff(10) = -1; hostileOff(11) = -1; hostileOff(12) = -1; hostileOff(13) = 0x7f
+    assert(Multimodal.decodeBmp(hostileOff).isEmpty) // u32 offset near 2^31
+    assert(Multimodal.decodeBmp(Array[Byte]()).isEmpty)
+  }
+
+  test("bmpFixture payloads round-trip through the real BMP decoder") {
+    val ids = Seq(0L, 1L, 7L).toDF("doc_id")
+    val got = Multimodal.decodeBmpFeatures(Multimodal.bmpFixture(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 7L)) {
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      assert(got(id).getInt(1) === w && got(id).getInt(2) === h)
+      val n = w * h
+      val expMean = (0 until n).map(p => ((id * 11 + 5 * p) % 256).toDouble).sum / n
+      assert(got(id).getDouble(3) === expMean, s"mean_b id=$id")
+      assert(got(id).getInt(6) === ((id * 11) % 256).toInt, s"b00 id=$id")
+    }
+  }
+
   test("pnmFixture payloads round-trip through the real decoder") {
     val ids = Seq(0L, 1L, 7L, 123L).toDF("doc_id")
     val got = Multimodal.decodePnmFeatures(Multimodal.pnmFixture(ids, "doc_id"))
