@@ -130,6 +130,41 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(got === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("hoppingCounts under a real streaming query: watermark finalizes windows in append mode") {
+    implicit val sqlCtx = TestSpark.spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = IncrementalIngest.hoppingCounts(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      "ts", "1 hour", "15 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("__hop_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // windows are open: watermark has not passed any window end yet
+      assert(TestSpark.spark.table("__hop_stream").count() === 0)
+      // a far-future event advances the watermark past every early window
+      mem.addData((Timestamp.valueOf("2024-01-01 23:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      val got = TestSpark.spark.table("__hop_stream")
+        .select($"window_start".cast("string"), $"n", $"total_value")
+        .as[(String, Long, Double)].collect().toSet
+      // finalized output == the batch-mode recompute over the early events
+      val batch = IncrementalIngest.hoppingCounts(
+        Seq(
+          (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+          (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0))
+          .toDF("ts", "event_type", "value"),
+        "ts", "1 hour", "15 minutes", "10 minutes")
+        .select($"window_start".cast("string"), $"n", $"total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got === batch)
+      assert(got.size === 5) // 2 events x 4 windows, 3 shared
+    } finally q.stop()
+  }
+
   test("approx_top_k is a valid streaming aggregate: sketches merge across batches") {
     implicit val sqlCtx = TestSpark.spark.sqlContext
     val mem = MemoryStream[String]
