@@ -101,7 +101,11 @@ object Multimodal {
     * extraction, and a pixel walk producing per-channel means. Returns
     * None on anything malformed or truncated (null feature columns).
     */
-  private[graft] def decodePnm(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+  /** Parse a binary netpbm header → (width, height, channels, bodyOffset),
+    * with the body bounds-checked against the array. None on anything
+    * malformed or truncated. Shared by the decode and resize paths.
+    */
+  private def parsePnmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     var i = 0
     def skipSpace(): Unit = {
       var go = true
@@ -132,25 +136,57 @@ object Multimodal {
     val parsed = for {
       w <- token(); h <- token(); maxval <- token()
       if w > 0 && h > 0 && maxval > 0 && maxval < 256
-    } yield (w, h, maxval)
-    parsed.flatMap { case (w, h, _) =>
+    } yield (w, h)
+    parsed.flatMap { case (w, h) =>
       val off = i + 1 // exactly one whitespace byte after maxval, per spec
-      val need = w.toLong * h * channels
-      if (off + need > bytes.length) None
-      else {
-        val sums = new Array[Double](channels)
-        val counts = new Array[Long](channels)
-        var p = 0L
-        while (p < need) {
-          val c = (p % channels).toInt
-          sums(c) += (bytes(off + p.toInt) & 0xff)
-          counts(c) += 1
-          p += 1
-        }
-        Some((w, h, channels, sums.zip(counts).map { case (s, n) => s / n }))
-      }
+      if (off + w.toLong * h * channels > bytes.length) None
+      else Some((w, h, channels, off))
     }
   }
+
+  private[graft] def decodePnm(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+    parsePnmHeader(bytes).map { case (w, h, channels, off) =>
+      val need = w.toLong * h * channels
+      val sums = new Array[Double](channels)
+      val counts = new Array[Long](channels)
+      var p = 0L
+      while (p < need) {
+        val c = (p % channels).toInt
+        sums(c) += (bytes(off + p.toInt) & 0xff)
+        counts(c) += 1
+        p += 1
+      }
+      (w, h, channels, sums.zip(counts).map { case (s, n) => s / n })
+    }
+
+  /** REAL nearest-neighbor resize for the netpbm path — upgrades the
+    * `withResizeSpec` plumbing contract to an actual resample where the
+    * format is decodable: target pixel (x, y) reads source pixel
+    * (x·sw/tw, y·sh/th) (integer floor division, the standard
+    * nearest-neighbor map), and the resized image is summarized by its
+    * per-channel means. Per-row work is O(tw·th), independent of source
+    * size — the whole point of resizing early in a pipeline.
+    */
+  private[graft] def resizePnm(
+      bytes: Array[Byte], tw: Int, th: Int): Option[(Int, Int, Int, Array[Double])] =
+    parsePnmHeader(bytes).map { case (sw, sh, channels, off) =>
+      val sums = new Array[Double](channels)
+      var y = 0
+      while (y < th) {
+        val sy = y * sh / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * sw / tw
+          val base = off + (sy.toLong * sw + sx).toInt * channels
+          var c = 0
+          while (c < channels) { sums(c) += (bytes(base + c) & 0xff); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      val n = tw.toDouble * th
+      (sw, sh, channels, sums.map(_ / n))
+    }
 
   /** Deterministic P6 image fixture: a real, well-formed PPM payload per id
     * (width 4 + id%5, height 3 + id%4, pixel byte k = (id*7 + k) % 256) —
@@ -183,6 +219,37 @@ object Multimodal {
               means(0), if (ch == 3) means(1) else null, if (ch == 3) means(2) else null)
           case None =>
             Row(r.getAs[Long]("doc_id"), null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Schema of a resized-image feature row (see `resizePnmFeatures`). */
+  val resizeFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_width", IntegerType, nullable = true),
+    StructField("src_height", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)))
+
+  /** Batched per-partition nearest-neighbor resize over (doc_id, content)
+    * rows — the decode-stage shape with the real resampler inside; target
+    * geometry travels as arguments, undecodable payloads yield nulls.
+    */
+  def resizePnmFeatures(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target: ${targetW}x$targetH")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeFeatureSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        resizePnm(r.getAs[Array[Byte]]("content"), targetW, targetH) match {
+          case Some((sw, sh, ch, means)) =>
+            Row(r.getAs[Long]("doc_id"), sw, sh, targetW, targetH,
+              means(0), if (ch == 3) means(1) else null, if (ch == 3) means(2) else null)
+          case None =>
+            Row(r.getAs[Long]("doc_id"), null, null, targetW, targetH, null, null, null)
         }
       }
     }(enc)

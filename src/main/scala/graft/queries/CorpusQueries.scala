@@ -999,6 +999,24 @@ object CorpusQueries {
         FROM idx a JOIN idx b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    // REAL nearest-neighbor image resize (netpbm path): target pixel
+    // (x,y) reads source pixel (x*sw/tw, y*sh/th); per-row work is
+    // O(tw*th) regardless of source size. Closed-form oracle over the
+    // fixture's pixel formula through the same integer-floor sampling map.
+    Q("q_image_resize",
+      (s, dir) => Multimodal.resizePnmFeatures(
+        Multimodal.pnmFixture(t(s, dir, "documents"), "doc_id"), targetW = 3, targetH = 2),
+      Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, 6)) AS q FROM d),
+        s AS (SELECT doc_id, w, h, ((q % 3) * w) // 3 AS sx, ((q // 3) * h) // 2 AS sy FROM px)
+        SELECT doc_id, CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
+               3 AS width, 2 AS height,
+               CAST(sum((doc_id * 7 + 3 * (sy * w + sx) + 0) % 256) AS DOUBLE) / 6 AS mean_r,
+               CAST(sum((doc_id * 7 + 3 * (sy * w + sx) + 1) % 256) AS DOUBLE) / 6 AS mean_g,
+               CAST(sum((doc_id * 7 + 3 * (sy * w + sx) + 2) % 256) AS DOUBLE) / 6 AS mean_b
+        FROM s GROUP BY doc_id, w, h""")),
+
     // Real 24-bit BMP decode (little-endian headers, 4-byte row padding,
     // BGR order, bottom-up rows): per-channel means + the (0,0) corner
     // pixel — the corner is position-sensitive, so stride/row-order bugs

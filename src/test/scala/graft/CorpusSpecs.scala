@@ -297,6 +297,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(hostile(0xFFFFFFFF)).isEmpty) // odd max
   }
 
+  test("resizePnm really resamples: downsample picks mapped pixels, upsample keeps means") {
+    // 2x2 P6: pixels (r,g,b) = (10,11,12) (20,21,22) / (30,31,32) (40,41,42)
+    val p6 = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array(10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42).map(_.toByte))
+    // 1x1 target: sx = 0*2/1 = 0, sy = 0 -> exactly the top-left pixel
+    val Some((_, _, _, one)) = Multimodal.resizePnm(p6, 1, 1)
+    assert(one.toSeq === Seq(10.0, 11.0, 12.0))
+    // 4x4 upsample: every source pixel duplicated 2x2 -> means unchanged
+    val Some((_, _, _, up)) = Multimodal.resizePnm(p6, 4, 4)
+    assert(up.toSeq === Seq(25.0, 26.0, 27.0))
+    // identity-size resize reproduces the decode means
+    val Some((_, _, _, same)) = Multimodal.resizePnm(p6, 2, 2)
+    assert(same.toSeq === Seq(25.0, 26.0, 27.0))
+    // malformed input is rejected through the shared header parser
+    assert(Multimodal.resizePnm(p6.dropRight(1), 1, 1).isEmpty)
+    assert(Multimodal.resizePnm("junk".getBytes, 1, 1).isEmpty)
+  }
+
   test("decodeBmp really parses BMP: padding, bottom-up vs top-down, rejection") {
     // 2x2 24-bit BMP, stride 8 (2 pad bytes per row). Logical pixels
     // (top-down, BGR): (0,0)=(1,2,3) (1,0)=(4,5,6) (0,1)=(7,8,9) (1,1)=(10,11,12)
