@@ -393,7 +393,11 @@ object Multimodal {
     * fields read little-endian, and a signed-16-bit sample walk producing
     * count, mean amplitude, and RMS. None on malformed/truncated input.
     */
-  private[graft] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)] = {
+  /** RIFF/WAVE chunk walk → (channels, rate, bits, dataOffset, nSamples)
+    * for PCM16 payloads. None on malformed/truncated/hostile input.
+    * Shared by the decode and decimation paths.
+    */
+  private def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
@@ -421,13 +425,19 @@ object Multimodal {
       (channels, rate, bits) <- fmt
       (off, size) <- data
       if bits == 16 && channels > 0 && rate > 0 && size % 2 == 0
-    } yield {
-      val n = size / 2
+    } yield (channels, rate, bits, off, size / 2)
+  }
+
+  private def pcm16At(bytes: Array[Byte], off: Int, k: Int): Int =
+    (((bytes(off + 2 * k) & 0xff) | ((bytes(off + 2 * k + 1) & 0xff) << 8)).toShort).toInt
+
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)] =
+    parseWavPcm16(bytes).map { case (channels, rate, bits, off, n) =>
       var sum = 0.0
       var sumSq = 0.0
       var k = 0
       while (k < n) {
-        val s = u16(off + 2 * k).toShort.toInt // sign-extend
+        val s = pcm16At(bytes, off, k)
         sum += s
         sumSq += s.toDouble * s
         k += 1
@@ -436,6 +446,60 @@ object Multimodal {
       val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
       (channels, rate, bits, n.toLong, mean, rms)
     }
+
+  /** REAL audio downsampling by integer decimation: keep every `factor`-th
+    * sample (the zero-filter decimator — a production resampler adds an
+    * anti-aliasing low-pass; the sample WALK and rate arithmetic here are
+    * the real plumbing). Output rate = rate/factor (factor must divide the
+    * rate), with mean/RMS of the decimated signal. Per-row work is
+    * O(n/factor) — decimating early is the audio pipeline's width cut,
+    * like image resize.
+    */
+  private[graft] def decimateWav(
+      bytes: Array[Byte], factor: Int): Option[(Int, Int, Long, Double, Double)] =
+    parseWavPcm16(bytes).flatMap { case (channels, rate, _, off, n) =>
+      if (factor <= 0 || channels != 1 || rate % factor != 0) None
+      else {
+        val m = (n + factor - 1) / factor // samples at 0, factor, 2*factor, ...
+        var sum = 0.0
+        var sumSq = 0.0
+        var k = 0
+        while (k < n) {
+          val s = pcm16At(bytes, off, k)
+          sum += s
+          sumSq += s.toDouble * s
+          k += factor
+        }
+        val mean = if (m > 0) sum / m else 0.0
+        val rms = if (m > 0) math.sqrt(sumSq / m) else 0.0
+        Some((rate / factor, rate, m.toLong, mean, rms))
+      }
+    }
+
+  /** Schema of a decimated-audio feature row (see `decimateWavFeatures`). */
+  val decimateFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate_out", IntegerType, nullable = true),
+    StructField("sample_rate_in", IntegerType, nullable = true),
+    StructField("n_samples_out", LongType, nullable = true),
+    StructField("mean_amp", DoubleType, nullable = true),
+    StructField("rms", DoubleType, nullable = true)))
+
+  /** Batched per-partition audio decimation — the decode-stage shape with
+    * the real decimator inside; undecodable payloads yield nulls.
+    */
+  def decimateWavFeatures(media: DataFrame, factor: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decimateFeatureSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        decimateWav(r.getAs[Array[Byte]]("content"), factor) match {
+          case Some((rateOut, rateIn, m, mean, rms)) =>
+            Row(r.getAs[Long]("doc_id"), rateOut, rateIn, m, mean, rms)
+          case None =>
+            Row(r.getAs[Long]("doc_id"), null, null, null, null, null)
+        }
+      }
+    }(enc)
   }
 
   /** Deterministic PCM16 WAV fixture: a real, well-formed mono 8 kHz

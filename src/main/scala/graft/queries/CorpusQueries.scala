@@ -605,6 +605,23 @@ object CorpusQueries {
                sqrt(CAST(sum(s * s) AS DOUBLE) / n) AS rms
         FROM sm GROUP BY doc_id, n""")),
 
+    // REAL audio decimation (every-2nd-sample downsample, 8000 -> 4000 Hz):
+    // the audio width cut, like image resize — O(n/factor) per row. The
+    // oracle replays the kept-sample set and stats from the fixture's
+    // closed-form PCM formula.
+    Q("q_audio_decimate",
+      (s, dir) => Multimodal.decimateWavFeatures(
+        Multimodal.wavFixture(t(s, dir, "documents"), "doc_id"), factor = 2),
+      Some("""
+        WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+        sm AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM d),
+        f AS (SELECT doc_id, n, ((doc_id * 13 + k * 5) % 4096) - 2048 AS s FROM sm WHERE k % 2 = 0)
+        SELECT doc_id, 4000 AS sample_rate_out, 8000 AS sample_rate_in,
+               CAST((n + 1) // 2 AS BIGINT) AS n_samples_out,
+               CAST(sum(s) AS DOUBLE) / ((n + 1) // 2) AS mean_amp,
+               sqrt(CAST(sum(s * s) AS DOUBLE) / ((n + 1) // 2)) AS rms
+        FROM f GROUP BY doc_id, n""")),
+
     // Int8 scalar quantization of the embedding table (per-dim min/max
     // scaling): one stats pass + broadcast + map-only quantize. Emitted as
     // (vec_id, dim, q) rows; q and the dequantization are rational IEEE

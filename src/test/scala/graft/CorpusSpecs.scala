@@ -361,6 +361,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decimateWav keeps every factor-th sample; factor must divide the rate") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val dataSize = samples.size * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      buf.put("data".getBytes).putInt(dataSize)
+      samples.foreach(s => buf.putShort(s.toShort))
+      buf.array()
+    }
+    // factor 2 over 5 samples keeps indices 0,2,4
+    val Some((rateOut, rateIn, m, mean, rms)) =
+      Multimodal.decimateWav(wav(Seq(100, -999, 200, -999, 300)), 2)
+    assert((rateOut, rateIn, m) === (4000, 8000, 3L))
+    assert(mean === 200.0)
+    assert(rms === math.sqrt((10000.0 + 40000.0 + 90000.0) / 3))
+    // factor 1 degenerates to the plain decode stats
+    val Some((r1, _, m1, mean1, _)) = Multimodal.decimateWav(wav(Seq(1, 2, 3)), 1)
+    assert(r1 === 8000 && m1 === 3L && mean1 === 2.0)
+    // a factor that does not divide the rate is rejected, as is junk
+    assert(Multimodal.decimateWav(wav(Seq(1, 2)), 3).isEmpty)
+    assert(Multimodal.decimateWav("junk".getBytes, 2).isEmpty)
+  }
+
   test("pnmFixture payloads round-trip through the real decoder") {
     val ids = Seq(0L, 1L, 7L, 123L).toDF("doc_id")
     val got = Multimodal.decodePnmFeatures(Multimodal.pnmFixture(ids, "doc_id"))
