@@ -129,6 +129,109 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Temperature resampling at alpha = 0.5: downsample every stratum so the
+    * surviving composition is proportional to sqrt(share) — the standard
+    * multilingual rebalancing (Conneau & Lample 2019 §3.1; the reference's
+    * composition knob generalized), flattening dominant languages while
+    * keeping the tail at full rate. Keep rates derive only from the
+    * strata's integer counts: rate_permille(s) = floor(1000 *
+    * sqrt(cnt_min / cnt_s)) — the smallest stratum keeps everything, and a
+    * stratum 4x its size keeps half. sqrt is the one IEEE-exact
+    * transcendental-adjacent op, so an independent engine replays the rates
+    * bit-identically; row selection is the same md5 permille bucket as
+    * `stratifiedSample` (partitioning-stable, reproducible).
+    *
+    * Shape at scale: one tiny groupBy(strata) count, a 1-row min folded in
+    * by broadcast, a broadcast rate dim against the corpus, map-only
+    * filter. No corpus-wide shuffle at all.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String): DataFrame = {
+    val counts = docs
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min_cnt"))
+    val rates = counts
+      .crossJoin(broadcast(minCnt))
+      .withColumn("rate_permille",
+        floor(lit(1000.0) *
+          sqrt(col("__min_cnt").cast("double") / col("__cnt").cast("double")))
+          .cast("bigint"))
+      .select(col(strataCol), col("rate_permille"))
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("bigint"),
+      lit(1000L))
+    docs
+      .join(broadcast(rates), Seq(strataCol))
+      .withColumn("temp_bucket", bucket)
+      .filter(col("temp_bucket") < col("rate_permille"))
+  }
+
+  /** BM25 retrieval against a fixed query-term set: per-document Okapi BM25
+    * score over the matched terms, top `topK` documents. The idf is the
+    * log-free Robertson form (n - df + 0.5) / (df + 0.5) — same rationale
+    * as `tfidfTopTerms`: libm ln is not bit-portable across engines, IEEE
+    * rational arithmetic is, and the ranking it induces is identical
+    * (monotone transform). The per-term contributions are pivoted into
+    * FIXED columns and summed in query-term order, so the double additions
+    * happen in the same sequence in any replaying engine — a floating
+    * final score that still hash-matches.
+    *
+    * Shape at scale: tokens are filtered to the query set BEFORE any
+    * shuffle (the explode feeds a codegen isin filter), so the shuffled
+    * relation is O(|docs| * |query|), not O(tokens). Corpus stats (N,
+    * avgdl) fold in as a broadcast 1-row aggregate, term df as a
+    * broadcast |query|-row dim, and the final top-k is a global
+    * TakeOrderedAndProject — never a single-partition window.
+    */
+  def bm25Retrieve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      topK: Int): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("__n_docs"),
+      sum(col("dl")).as("__total_len"))
+    val tf = docs
+      .select(col(idCol), explode(toks).as("__t"))
+      .filter(col("__t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dft = tf
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+    // k1 = 1.2, b = 0.75 — written as the pre-folded literals 2.2 (k1+1),
+    // 0.25 (1-b), 0.75 so both engines evaluate the identical expression
+    val avgdl = col("__total_len").cast("double") / col("__n_docs").cast("double")
+    val contrib =
+      ((col("__n_docs").cast("double") - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5))) *
+        ((col("__tf").cast("double") * lit(2.2)) /
+          (col("__tf").cast("double") +
+            (lit(1.2) * (lit(0.25) + (lit(0.75) * (col("dl").cast("double") / avgdl))))))
+    val scored = tf
+      .join(dl, Seq(idCol))
+      .join(broadcast(dft), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), col("__t"), contrib.as("__contrib"))
+    val wide = scored
+      .groupBy(col(idCol), col("dl"))
+      .pivot("__t", queryTerms)
+      .agg(max(col("__contrib")))
+    val score = queryTerms
+      .map(qt => coalesce(col(s"`$qt`"), lit(0.0)))
+      .reduceLeft(_ + _)
+    wide
+      .select(col(idCol), col("dl"), score.as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Train/test decontamination: for every test document, the fraction of
     * its distinct word n-grams that also occur ANYWHERE in the training
     * corpus (the GPT-3 appendix-C style containment check, run before any

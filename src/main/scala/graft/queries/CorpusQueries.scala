@@ -570,6 +570,97 @@ object CorpusQueries {
         FROM b
         WHERE strat_bucket < CASE WHEN lang = 'en' THEN 100 ELSE 300 END""")),
 
+    // Temperature resampling (alpha = 0.5): keep rates from per-language
+    // integer counts only — floor(1000 * sqrt(cnt_min / cnt_lang)) — so the
+    // surviving composition is proportional to sqrt(share). sqrt is
+    // IEEE-exact, so the rates (and therefore the kept-row SET) replay
+    // bit-identically in DuckDB.
+    Q("q_temperature_sample",
+      (s, dir) => Curation.temperatureSample(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang")
+        .select("doc_id", "lang", "rate_permille", "temp_bucket"),
+      Some("""
+        WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+        r AS (
+          SELECT lang, CAST(floor(1000.0 * sqrt(
+                   CAST((SELECT min(cnt) FROM c) AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                 AS BIGINT) AS rate_permille
+          FROM c),
+        b AS (
+          SELECT doc_id, lang,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 1000 AS temp_bucket
+          FROM documents)
+        SELECT b.doc_id, b.lang, r.rate_permille, b.temp_bucket
+        FROM b JOIN r USING (lang)
+        WHERE b.temp_bucket < r.rate_permille""")),
+
+    // Okapi BM25 retrieval for a fixed 3-term query, log-free Robertson
+    // idf, per-term contributions summed in FIXED query-term order so the
+    // double additions sequence identically in both engines. Top-20 by
+    // (score desc, doc_id).
+    Q("q_bm25_topk",
+      (s, dir) => Curation.bm25Retrieve(
+        t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("join", "scan", "vector"), topK = 20),
+      Some("""
+        WITH dl AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+          FROM documents),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        tf AS (
+          SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk
+                FROM documents)
+          WHERE tk IN ('join', 'scan', 'vector')
+          GROUP BY 1, 2),
+        dft AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id, dl.dl, tf.tk,
+                 ((CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+                  (CAST(dft.df AS DOUBLE) + 0.5)) *
+                 ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                  (CAST(tf.tf AS DOUBLE) +
+                   (1.2 * (0.25 + (0.75 * (CAST(dl.dl AS DOUBLE) /
+                     (CAST(st.total_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))) AS c
+          FROM tf JOIN dl USING (doc_id) CROSS JOIN st JOIN dft USING (tk)),
+        wide AS (
+          SELECT doc_id, dl,
+                 max(CASE WHEN tk = 'join' THEN c END) AS c1,
+                 max(CASE WHEN tk = 'scan' THEN c END) AS c2,
+                 max(CASE WHEN tk = 'vector' THEN c END) AS c3
+          FROM contrib GROUP BY 1, 2)
+        SELECT doc_id, dl,
+               ((coalesce(c1, 0.0) + coalesce(c2, 0.0)) + coalesce(c3, 0.0)) AS bm25
+        FROM wide
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20""")),
+
+    // Deterministic per-language eval split: first 10 docs per language in
+    // md5-of-id order — reproducible held-out set construction. Spark 4's
+    // WindowGroupLimit pushes the rank<=10 filter below the sort, so each
+    // group keeps a bounded top-k instead of fully sorting (no
+    // single-partition window: partitioned by lang).
+    Q("q_group_sample",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("sample_rank", row_number().over(w))
+          .filter(col("sample_rank") <= 10)
+      },
+      Some("""
+        SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+        FROM (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+              FROM documents)
+        WHERE sample_rank <= 10""")),
+
     // REAL image decode (netpbm P6 — zero-library raster format): encode a
     // deterministic well-formed PPM per doc, decode it with the actual
     // header/pixel parser, and hash-verify the decoded dimensions and

@@ -214,6 +214,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) === ((3L, 0L, 0L, 0L)))
   }
 
+  test("temperatureSample: sqrt-share rates from counts, smallest stratum kept whole") {
+    val corpus = ((0L until 1600L).map(i => (i, "en")) ++
+      (10000L until 10100L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    val got = Curation.temperatureSample(corpus, "doc_id", "lang")
+    val rates = got.select("lang", "rate_permille").distinct()
+      .as[(String, Long)].collect().toMap
+    // cnt_min=100: en floor(1000*sqrt(100/1600)) = 250, fr = 1000
+    assert(rates("en") === 250L && rates("fr") === 1000L)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") === 100L) // rate 1000 keeps every row
+    assert(byLang("en") > 320 && byLang("en") < 480) // ~25% of 1600
+    // membership is a function of doc_id alone, not of partitioning
+    val again = Curation.temperatureSample(corpus.repartition(7), "doc_id", "lang")
+    assert(again.select("doc_id").except(got.select("doc_id")).count() === 0)
+    assert(got.select("doc_id").except(again.select("doc_id")).count() === 0)
+  }
+
+  test("bm25Retrieve: hand-computed Okapi scores, rational idf, topK cut") {
+    val corpus = Seq(
+      (1L, "join join scan x"), // dl=4
+      (2L, "join y z"),         // dl=3
+      (3L, "a b c d e")         // dl=5, no query terms -> absent
+    ).toDF("doc_id", "text")
+    val got = Curation.bm25Retrieve(
+      corpus, "doc_id", "text", queryTerms = Seq("join", "scan"), topK = 10)
+      .collect()
+    // N=3 total_len=12 avgdl=4.0; df(join)=2 df(scan)=1
+    // idf(join)=(3-2+0.5)/2.5  idf(scan)=(3-1+0.5)/1.5
+    val d1 = ((3.0 - 2.0 + 0.5) / 2.5) * ((2.0 * 2.2) / (2.0 + (1.2 * (0.25 + 0.75 * (4.0 / 4.0))))) +
+      ((3.0 - 1.0 + 0.5) / 1.5) * ((1.0 * 2.2) / (1.0 + (1.2 * (0.25 + 0.75 * (4.0 / 4.0)))))
+    val d2 = ((3.0 - 2.0 + 0.5) / 2.5) * ((1.0 * 2.2) / (1.0 + (1.2 * (0.25 + (0.75 * (3.0 / 4.0))))))
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // doc 3 never matches
+    assert(math.abs(got(0).getDouble(2) - d1) < 1e-12)
+    assert(math.abs(got(1).getDouble(2) - d2) < 1e-12)
+    val top1 = Curation.bm25Retrieve(
+      corpus, "doc_id", "text", queryTerms = Seq("join", "scan"), topK = 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("lmScore: hand-computed conditional-bigram means") {
     val corpus = Seq(
       (1L, "a b a b"), // bigrams: (a b) x2, (b a) x1
