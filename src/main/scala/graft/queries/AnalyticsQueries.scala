@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, RangeJoin, SkewJoin}
+import graft.operators.{AsofJoin, Dedup, PageRank, RangeJoin, SkewJoin}
 import Q.{dec2, moneySum, t}
 
 /** Time-series / analytical operators beyond the reference's surface:
@@ -287,6 +287,56 @@ object AnalyticsQueries {
           // rows-only check can sort the frame
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
           expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("approx_p99")),
-      None)
+      None),
+
+    // Link-graph authority (PageRank, 3 damped iterations) over the
+    // bipartite customer->supplier activity graph — the domain-rank signal
+    // curation pipelines weight sources by. Node ids disambiguate the two
+    // key spaces (2c / 2s+1). The per-node neighbor sum is an ORDERED fold
+    // of the sorted contribution list, so DuckDB replays every double
+    // addition in the same sequence (the one engine-order-dependent sum in
+    // the algorithm); the teleport constant is the SAME computed
+    // subtraction (1.0 - 0.85) on both sides — the IEEE result differs
+    // from the literal 0.15.
+    Q("q_pagerank",
+      (s, dir) => PageRank.run(
+        t(s, dir, "orders").join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst")),
+        "src", "dst", iterations = 3),
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                          CAST((l_suppkey * 2) + 1 AS BIGINT) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM n),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+        r0 AS (SELECT node, (CAST(1.0 AS DOUBLE) / CAST(n_nodes AS DOUBLE)) AS rank
+               FROM n CROSS JOIN nn),
+        s1 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
+                        (a, x) -> a + x) AS s
+               FROM ed JOIN r0 r ON r.node = ed.src GROUP BY 1),
+        r1 AS (SELECT n.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+                       (CAST(0.85 AS DOUBLE) * coalesce(s1.s, CAST(0.0 AS DOUBLE)))) AS rank
+               FROM n LEFT JOIN s1 ON s1.dst = n.node),
+        s2 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
+                        (a, x) -> a + x) AS s
+               FROM ed JOIN r1 r ON r.node = ed.src GROUP BY 1),
+        r2 AS (SELECT n.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+                       (CAST(0.85 AS DOUBLE) * coalesce(s2.s, CAST(0.0 AS DOUBLE)))) AS rank
+               FROM n LEFT JOIN s2 ON s2.dst = n.node),
+        s3 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
+                        (a, x) -> a + x) AS s
+               FROM ed JOIN r2 r ON r.node = ed.src GROUP BY 1),
+        r3 AS (SELECT n.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+                       (CAST(0.85 AS DOUBLE) * coalesce(s3.s, CAST(0.0 AS DOUBLE)))) AS rank
+               FROM n LEFT JOIN s3 ON s3.dst = n.node)
+        SELECT node, rank FROM r3"""))
   )
 }
