@@ -86,6 +86,28 @@ object ScaleProbe {
     // bigram LM: two bigram-grain aggregates + bounded per-doc fold
     stage("lm_score_rows")(Curation.lmScore(docs, "doc_id", "text"))
 
+    // temperature resampling: strata counts grow factor-x but the rate
+    // RATIOS (cnt_min/cnt) are replication-invariant, so the kept fraction
+    // should match the sf0.1 run exactly — map-only over the 10x corpus
+    stage("temperature_sample_kept")(
+      Curation.temperatureSample(docs.select("doc_id", "lang"), "doc_id", "lang"))
+
+    // PageRank over factor disjoint copies of the customer->supplier
+    // graph (ids offset per copy): nodes and edges scale factor-x, the
+    // per-iteration join+aggregate shuffles must scale linearly with them
+    val baseEdges = Q.t(spark, sfDir, "orders")
+      .join(Q.t(spark, sfDir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct().persist()
+    val offset = lit(10000000L)
+    val bigEdges = baseEdges
+      .withColumn("__k", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("src") + col("__k") * offset).as("src"),
+        (col("dst") + col("__k") * offset).as("dst"))
+    stage("pagerank_nodes")(
+      graft.operators.PageRank.run(bigEdges, "src", "dst", iterations = 3))
+
     // exact set-similarity join (prefix-filtered AllPairs). theta=0.9:
     // with 10 exact copies per doc the pair OUTPUT is quadratic in family
     // size — a theta=0.8 run measured 297M output rows (recorded in
