@@ -77,6 +77,37 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("property: bm25Retrieve equals a sequential plain-Scala replay exactly") {
+    val queryTerms = Seq("aa", "ccc")
+    val dls = corpus.map { case (id, _, t) => id -> toks(t).size.toLong }.toMap
+    val nD = corpus.size.toDouble
+    val avgdl = dls.values.sum.toDouble / nD
+    val tf = corpus.flatMap { case (id, _, t) =>
+      toks(t).filter(queryTerms.contains).map(tk => (id, tk))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (tk, xs) => tk -> xs.size.toLong }
+    val expected = tf.keys.map(_._1).toSeq.distinct.map { id =>
+      val dlD = dls(id).toDouble
+      // the operator's exact fp sequence: per-term contribution with the
+      // pre-folded constants, absent terms contribute coalesced 0.0, the
+      // sum folds left in query-term order
+      val contribs = queryTerms.map { qt =>
+        tf.get((id, qt)) match {
+          case Some(f) =>
+            val dfD = df(qt).toDouble
+            ((nD - dfD + 0.5) / (dfD + 0.5)) *
+              ((f.toDouble * 2.2) / (f.toDouble + (1.2 * (0.25 + (0.75 * (dlD / avgdl))))))
+          case None => 0.0
+        }
+      }
+      (id, dls(id), contribs.reduceLeft(_ + _))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = Curation.bm25Retrieve(
+      docs.repartition(7), "doc_id", "text", queryTerms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+
   test("property: packSequences offsets are contiguous and bins partition each shard") {
     val seqLen = 7
     val got = Curation.packSequences(docs.repartition(9), "doc_id", "text", "lang", seqLen)

@@ -1,5 +1,7 @@
 package graft
 
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.PageRank
@@ -43,5 +45,36 @@ class PageRankSpec extends AnyFunSuite {
     (1L to 5L).foreach(i => assert(got(i) === t))
     // iter 2: five spokes each contribute their floored rank t
     assert(got(0L) === t + 0.85 * (((((0.0 + (t / 1.0)) + (t / 1.0)) + (t / 1.0)) + (t / 1.0)) + (t / 1.0)))
+  }
+
+  test("property: random-graph ranks equal a sequential plain-Scala replay exactly") {
+    // seeded random multigraph over 30 nodes; duplicates exercise the
+    // distinct-edge collapse, self-loops are legal PageRank edges
+    val rawEdges = Gen.listOfN(80, for {
+      s <- Gen.choose(0L, 29L)
+      d <- Gen.choose(0L, 29L)
+    } yield (s, d))(Gen.Parameters.default, Seed(41L)).get
+    val edgeSet = rawEdges.toSet
+
+    val nodes = edgeSet.flatMap { case (s, d) => Seq(s, d) }
+    val outdeg = edgeSet.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val t = 1.0 - 0.85
+    var ranks = nodes.map(n => n -> (1.0 / nodes.size.toDouble)).toMap
+    for (_ <- 1 to 3) {
+      val sums = edgeSet.toSeq
+        .map { case (s, d) => d -> (ranks(s) / outdeg(s).toDouble) }
+        .groupBy(_._1)
+        .map { case (d, xs) =>
+          // ascending fold from 0.0 — the operator's ordered-sum contract
+          d -> xs.map(_._2).sorted.foldLeft(0.0)(_ + _)
+        }
+      ranks = nodes.map(n => n -> (t + 0.85 * sums.getOrElse(n, 0.0))).toMap
+    }
+
+    val got = PageRank.run(rawEdges.toDF("src", "dst").repartition(7),
+      "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === nodes)
+    nodes.foreach(n => assert(got(n) === ranks(n), s"node $n (bit-exact)"))
   }
 }
