@@ -130,6 +130,57 @@ case class DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Order-deterministic sum of an `array<double>`: sort ascending, then fold
+  * left from 0.0 — the replay-exact sum contract used wherever a double
+  * aggregation must hash-match an independent engine (PageRank neighbor
+  * sums, the bigram-LM per-doc fold). Semantically identical to
+  * `aggregate(sort_array(xs), 0.0, (a, x) -> a + x)`, but that HOF chain
+  * evaluates through interpreted lambda plumbing (ArrayAggregate is
+  * CodegenFallback) with per-element boxing, once per GROUP; this fuses
+  * sort+fold into one primitive-double loop inside whole-stage codegen.
+  * `java.util.Arrays.sort(double[])` and Spark's `sort_array` share the
+  * same total order (-0.0 < 0.0, NaN last), so results are bit-identical.
+  *
+  * Null input yields null; elements are assumed non-null (the inputs are
+  * `collect_list` outputs, which never contain null).
+  */
+case class OrderedSumDoubles(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = arr.getDouble(i); i += 1 }
+    java.util.Arrays.sort(xs)
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += xs(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xs = ctx.freshName("xs")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $xs = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $xs[$i] = $a.getDouble($i); }
+         |java.util.Arrays.sort($xs);
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { ${ev.value} += $xs[$i]; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column API: codegen'd dot product over float/double arrays. */
   def dot(a: Column, b: Column): Column =
@@ -138,4 +189,8 @@ object VectorExprs {
   /** Column API: codegen'd squared euclidean distance. */
   def distSq(a: Column, b: Column): Column =
     Bridge.column(DistanceSq(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: codegen'd order-deterministic (sorted ascending) sum. */
+  def orderedSum(xs: Column): Column =
+    Bridge.column(OrderedSumDoubles(Bridge.expression(xs)))
 }

@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  // fused codegen sort+fold (see OrderedSumDoubles) — bit-identical to
+  // aggregate(sort_array(collect_list(c)), 0.0, +) but not interpreted
   private def orderedSum(c: Column): Column =
-    aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.orderedSum(collect_list(c))
 
   /** @param edges     directed edge list; duplicates are collapsed
     * @param srcCol    source-node column (integral or string key)

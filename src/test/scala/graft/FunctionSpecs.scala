@@ -152,6 +152,29 @@ class VectorFnsSpec extends AnyFunSuite {
     assert(row.isNullAt(2)) // the HOF form it must match
   }
 
+  test("codegen orderedSum is bit-identical to aggregate(sort_array(...), 0.0, +)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      // mixed signs, duplicates, a signed zero, varying lengths incl. empty
+      Tuple1(Seq.fill(i % 7)(rnd.nextDouble() * 2.0 - 1.0) ++
+        (if (i % 3 == 0) Seq(-0.0, 0.0) else Nil))
+    }
+    val df = rows.toDF("xs")
+    val hof = aggregate(sort_array($"xs"), lit(0.0), (acc, x) => acc + x)
+    val diff = df.select(
+      graft.functions.VectorExprs.orderedSum($"xs").as("cg"), hof.as("hof"))
+      .filter($"cg" =!= $"hof")
+    assert(diff.count() === 0)
+    // null input propagates
+    val n = Seq(Tuple1(Option.empty[Seq[Double]])).toDF("xs")
+      .select(graft.functions.VectorExprs.orderedSum($"xs")).collect().head
+    assert(n.isNullAt(0))
+    // SQL registration
+    graft.core.GraftExtensions.register(TestSpark.spark)
+    assert(TestSpark.spark.sql("SELECT ordered_sum(array(3.0d, 1.0d, 2.0d))")
+      .collect().head.getDouble(0) === 6.0)
+  }
+
   test("dot, norm, cosine, distSq on known vectors") {
     val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 4.0, 4.0), Seq(0.0, 0.0, 0.0)))
       .toDF("a", "b", "z")
