@@ -232,6 +232,79 @@ object Curation {
       .limit(topK)
   }
 
+  /** BPE subword-merge training (Sennrich et al. 2016 §3.2): `rounds`
+    * iterations of "count adjacent symbol pairs, merge the most frequent
+    * everywhere", producing the ordered merge table a subword tokenizer is
+    * defined by. Ties break lexicographically on (left, right) so the
+    * table is fully deterministic.
+    *
+    * Shape at scale: the corpus is touched ONCE — an explode + groupBy to
+    * word counts (map-side combine) — and every training round then
+    * operates on the WORD-grain frame (|vocab| rows, not corpus rows):
+    * pair counts weighted by word frequency, a 1-row argmax folded back by
+    * broadcast, and a map-only merge. The loop is fully declarative — the
+    * argmax is never collected; it joins back as a broadcast frame, and
+    * the vocab frame localCheckpoints per round to stop lineage growth.
+    *
+    * The merge step rewrites the space-joined symbol string with plain
+    * left-to-right `replace`, applied TWICE: consecutive overlapping
+    * occurrences share a delimiter space, so one pass merges every other
+    * occurrence of a run and the second pass merges the rest (merged
+    * symbols contain no space, so no new matches can arise — two passes
+    * reach the BPE fixpoint). An independent engine replays the identical
+    * construction — and every value in the output is an integer or a
+    * string, so the oracle comparison is exact by construction, no
+    * floating point anywhere.
+    *
+    * @return one row per round: (round, left, right, merged, pair_count)
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): DataFrame = {
+    val words = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        // ' a b a b ' — every symbol space-delimited on both sides
+        concat(lit(" "), regexp_replace(col("__w"), "(.)", "$1 ")).as("__sym"),
+        col("__n"))
+      .localCheckpoint()
+
+    def pairCounts(vocab: DataFrame): DataFrame = {
+      val s = filter(split(trim(col("__sym")), " "), x => x =!= lit(""))
+      // sequence() DESCENDS when stop < start — guard 1-symbol words
+      val idx = when(size(s) >= 2, sequence(lit(1), size(s) - 1))
+        .otherwise(array().cast("array<int>"))
+      vocab
+        .select(col("__n"),
+          explode(transform(idx,
+            i => struct(element_at(s, i).as("l"), element_at(s, i + 1).as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__n")).as("pair_count"))
+    }
+
+    val (_, merges) = (1 to rounds).foldLeft((words, Seq.empty[DataFrame])) {
+      case ((vocab, acc), round) =>
+        val best = pairCounts(vocab)
+          .orderBy(col("pair_count").desc, col("l"), col("r"))
+          .limit(1)
+        val from = concat(lit(" "), col("l"), lit(" "), col("r"), lit(" "))
+        val to = concat(lit(" "), col("l"), col("r"), lit(" "))
+        val merged = vocab
+          .crossJoin(broadcast(best))
+          .select(replace(replace(col("__sym"), from, to), from, to).as("__sym"),
+            col("__n"))
+          .localCheckpoint()
+        val row = best.select(
+          lit(round).as("round"), col("l").as("left_sym"), col("r").as("right_sym"),
+          concat(col("l"), col("r")).as("merged"), col("pair_count"))
+        (merged, acc :+ row)
+    }
+    merges.reduce(_.unionByName(_))
+  }
+
   /** Train/test decontamination: for every test document, the fraction of
     * its distinct word n-grams that also occur ANYWHERE in the training
     * corpus (the GPT-3 appendix-C style containment check, run before any

@@ -638,6 +638,45 @@ object CorpusQueries {
         ORDER BY bm25 DESC, doc_id
         LIMIT 20""")),
 
+    // BPE subword-merge training, 3 rounds: corpus touched once for word
+    // counts, rounds run at vocab grain, the merge table is integers and
+    // strings only — exact by construction. The DuckDB oracle unrolls the
+    // identical three rounds (same 2-pass replace merge construction).
+    Q("q_bpe_merges",
+      (s, dir) => Curation.bpeTrain(t(s, dir, "documents"), "text", rounds = 3),
+      Some("""
+        WITH v0 AS (
+          SELECT ' ' || regexp_replace(tk, '(.)', '\1 ', 'g') AS sym, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents)
+          GROUP BY 1),
+        p1 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v0) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b1 AS (SELECT l, r, pair_count FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v1 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
+                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+               FROM v0 v CROSS JOIN b1 b),
+        p2 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v1) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b2 AS (SELECT l, r, pair_count FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v2 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
+                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+               FROM v1 v CROSS JOIN b2 b),
+        p3 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v2) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b3 AS (SELECT l, r, pair_count FROM p3 ORDER BY pair_count DESC, l, r LIMIT 1)
+        SELECT CAST(1 AS INT) AS round, l AS left_sym, r AS right_sym, l||r AS merged, pair_count FROM b1
+        UNION ALL SELECT 2, l, r, l||r, pair_count FROM b2
+        UNION ALL SELECT 3, l, r, l||r, pair_count FROM b3""")),
+
     // Deterministic per-language eval split: first 10 docs per language in
     // md5-of-id order — reproducible held-out set construction. Spark 4's
     // WindowGroupLimit pushes the rank<=10 filter below the sort, so each

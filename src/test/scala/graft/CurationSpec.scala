@@ -253,6 +253,58 @@ class CurationSpec extends AnyFunSuite {
     assert(top1.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("bpeTrain: hand-computed merges, overlapping-run case, tie order") {
+    // word counts: abab x3, aab x2, ba x5
+    // pairs r1: (a,b)=2*3+1*2=8  (b,a)=1*3+5=8  (a,a)=2 -> tie 8 breaks to (a,b)
+    val corpus = Seq(
+      (1L, "abab abab abab aab aab"),
+      (2L, "ba ba ba ba ba")
+    ).toDF("doc_id", "text")
+    val got = Curation.bpeTrain(corpus, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got(0) === ((1, "a", "b", "ab", 8L)))
+    // after merging ab EVERYWHERE (abab -> [ab, ab] — the overlapping run
+    // must merge both occurrences): pairs are (ab,ab)=3, (a,ab)=2, (b,a)=5
+    assert(got(1) === ((2, "b", "a", "ba", 5L)))
+  }
+
+  test("property: bpeTrain equals a sequential greedy-BPE replay") {
+    def replay(words: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Seq[(Seq[String], Long)] =
+        words.map { case (w, n) => (w.map(_.toString): Seq[String]) -> n }.toSeq
+      (1 to rounds).map { round =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2 // greedy left-to-right, consume both
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq -> n
+        }
+        (round, l, r, cnt)
+      }
+    }
+    val corpus = docs // the shared fixture incl. repetition-heavy + empty docs
+    val words = corpus.collect().flatMap(r =>
+        Option(r.getString(1)).toSeq.flatMap(_.trim.split("\\s+").filter(_.nonEmpty)))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = replay(words, rounds = 3)
+    val got = Curation.bpeTrain(corpus.repartition(5), "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
   test("lmScore: hand-computed conditional-bigram means") {
     val corpus = Seq(
       (1L, "a b a b"), // bigrams: (a b) x2, (b a) x1
