@@ -261,7 +261,29 @@ object Curation {
   def bpeTrain(
       docs: DataFrame,
       textCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    bpeRun(docs, textCol, rounds)._2.reduce(_.unionByName(_))
+
+  /** The word vocabulary AFTER `rounds` BPE merges: one row per distinct
+    * word with its corpus frequency and its subword segmentation (the
+    * merge table of [[bpeTrain]] APPLIED — train + encode are the same
+    * declarative fold, so the segmentation is exact by construction too).
+    * The word column is recovered from the symbol string (merges only
+    * delete delimiters), keeping the training loop single-purpose.
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): DataFrame =
+    bpeRun(docs, textCol, rounds)._1.select(
+      replace(trim(col("__sym")), lit(" "), lit("")).as("word"),
+      col("__n").as("n"),
+      trim(col("__sym")).as("encoded"))
+
+  private def bpeRun(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): (DataFrame, Seq[DataFrame]) = {
     val words = docs
       .select(explode(TextFns.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w"))
@@ -285,7 +307,7 @@ object Curation {
         .agg(sum(col("__n")).as("pair_count"))
     }
 
-    val (_, merges) = (1 to rounds).foldLeft((words, Seq.empty[DataFrame])) {
+    (1 to rounds).foldLeft((words, Seq.empty[DataFrame])) {
       case ((vocab, acc), round) =>
         val best = pairCounts(vocab)
           .orderBy(col("pair_count").desc, col("l"), col("r"))
@@ -302,7 +324,6 @@ object Curation {
           concat(col("l"), col("r")).as("merged"), col("pair_count"))
         (merged, acc :+ row)
     }
-    merges.reduce(_.unionByName(_))
   }
 
   /** Train/test decontamination: for every test document, the fraction of

@@ -677,6 +677,46 @@ object CorpusQueries {
         UNION ALL SELECT 2, l, r, l||r, pair_count FROM b2
         UNION ALL SELECT 3, l, r, l||r, pair_count FROM b3""")),
 
+    // The trained merges APPLIED: per-word subword segmentation after the
+    // same 3 rounds (train + encode are one declarative fold; the word is
+    // recovered from the symbol string since merges only delete
+    // delimiters). Vocab-grain output, exact strings+integers.
+    Q("q_bpe_encode",
+      (s, dir) => Curation.bpeEncode(t(s, dir, "documents"), "text", rounds = 3),
+      Some("""
+        WITH v0 AS (
+          SELECT ' ' || regexp_replace(tk, '(.)', '\1 ', 'g') AS sym, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents)
+          GROUP BY 1),
+        p1 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v0) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b1 AS (SELECT l, r FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v1 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
+                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+               FROM v0 v CROSS JOIN b1 b),
+        p2 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v1) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b2 AS (SELECT l, r FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v2 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
+                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+               FROM v1 v CROSS JOIN b2 b),
+        p3 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v2) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b3 AS (SELECT l, r FROM p3 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v3 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
+                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+               FROM v2 v CROSS JOIN b3 b)
+        SELECT replace(trim(sym), ' ', '') AS word, n, trim(sym) AS encoded FROM v3""")),
+
     // Deterministic per-language eval split: first 10 docs per language in
     // md5-of-id order — reproducible held-out set construction. Spark 4's
     // WindowGroupLimit pushes the rank<=10 filter below the sort, so each

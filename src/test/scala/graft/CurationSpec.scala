@@ -269,6 +269,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1) === ((2, "b", "a", "ba", 5L)))
   }
 
+  test("bpeEncode: segmentation after the hand-computed merges") {
+    val corpus = Seq(
+      (1L, "abab abab abab aab aab"),
+      (2L, "ba ba ba ba ba")
+    ).toDF("doc_id", "text")
+    // merges: round 1 (a,b)->ab, round 2 (b,a)->ba (see bpeTrain spec)
+    val got = Curation.bpeEncode(corpus, "text", rounds = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got("abab") === ((3L, "ab ab")))
+    assert(got("aab") === ((2L, "a ab")))
+    assert(got("ba") === ((5L, "ba")))
+  }
+
   test("property: bpeTrain equals a sequential greedy-BPE replay") {
     def replay(words: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
       var vocab: Seq[(Seq[String], Long)] =
