@@ -245,24 +245,44 @@ object Curation {
     * broadcast, and a map-only merge. The loop is fully declarative — the
     * argmax is never collected; it joins back as a broadcast frame, and
     * the vocab frame localCheckpoints per round to stop lineage growth.
+    * One Spark job cadence per merge round is inherent to BPE's sequential
+    * dependency; the word-grain frame IS the scale mitigation (rounds cost
+    * |vocab|, independent of corpus size), and real-vocab training (30k
+    * merges) would additionally train on a frequency-sampled word-count
+    * frame rather than the full vocabulary.
     *
-    * The merge step rewrites the space-joined symbol string with plain
-    * left-to-right `replace`, applied TWICE: consecutive overlapping
-    * occurrences share a delimiter space, so one pass merges every other
-    * occurrence of a run and the second pass merges the rest (merged
-    * symbols contain no space, so no new matches can arise — two passes
-    * reach the BPE fixpoint). An independent engine replays the identical
-    * construction — and every value in the output is an integer or a
-    * string, so the oracle comparison is exact by construction, no
-    * floating point anywhere.
+    * The merge step is the canonical greedy left-to-right scan (Sennrich's
+    * `re.sub` semantics): fold the symbol list into a space-joined string,
+    * merging whenever the accumulator's LAST symbol is `l` and the current
+    * symbol is `r`. A just-merged symbol is the string `l+r`, which can
+    * never equal `l`, so it is never re-used as the left operand — the
+    * fold is exactly the index scan, including on odd-length runs of a
+    * self-paired symbol ("aaaaa" with merge (a,a) → "aa aa a", never
+    * "aa a aa"). An independent engine replays the identical fold
+    * (`list_reduce` over the same token list) — and every value in the
+    * output is an integer or a string, so the oracle comparison is exact
+    * by construction, no floating point anywhere.
     *
-    * @return one row per round: (round, left, right, merged, pair_count)
+    * If fewer than `rounds` merges are possible (no adjacent pair left),
+    * the remaining rounds emit nothing and the vocabulary is left at its
+    * fixpoint — a sentinel candidate with `pair_count = -1` loses every
+    * argmax against a real pair and rewrites nothing, so exhaustion never
+    * touches the driver and never empties the vocab.
+    *
+    * @return one row per round that performed a merge:
+    *         (round, left, right, merged, pair_count)
     */
   def bpeTrain(
       docs: DataFrame,
       textCol: String,
-      rounds: Int): DataFrame =
-    bpeRun(docs, textCol, rounds)._2.reduce(_.unionByName(_))
+      rounds: Int): DataFrame = {
+    val perRound = bpeRun(docs, textCol, rounds)._2
+    if (perRound.isEmpty) // rounds <= 0: empty merge table, same schema
+      docs.sparkSession.range(0).select(
+        lit(0).as("round"), lit("").as("left_sym"), lit("").as("right_sym"),
+        lit("").as("merged"), lit(0L).as("pair_count"))
+    else perRound.reduce(_.unionByName(_))
+  }
 
   /** The word vocabulary AFTER `rounds` BPE merges: one row per distinct
     * word with its corpus frequency and its subword segmentation (the
@@ -307,21 +327,48 @@ object Curation {
         .agg(sum(col("__n")).as("pair_count"))
     }
 
+    // Merge exhaustion valve: when no adjacent pair remains, pairCounts is
+    // EMPTY and a bare limit(1) would broadcast an empty frame whose
+    // crossJoin silently empties the vocabulary. The sentinel loses every
+    // argmax (-1 < any real count) and, when it does win, rewrites nothing:
+    // l = "" never equals a (nonempty) accumulator tail, so the fold below
+    // is the identity and the round emits no merge row (pair_count < 0
+    // filtered out). Fully declarative — no driver-side emptiness check.
+    val sentinel = docs.sparkSession.range(1)
+      .select(lit("").as("l"), lit("").as("r"), lit(-1L).as("pair_count"))
+
     (1 to rounds).foldLeft((words, Seq.empty[DataFrame])) {
       case ((vocab, acc), round) =>
-        val best = pairCounts(vocab)
+        val best = pairCounts(vocab).unionByName(sentinel)
           .orderBy(col("pair_count").desc, col("l"), col("r"))
           .limit(1)
-        val from = concat(lit(" "), col("l"), lit(" "), col("r"), lit(" "))
-        val to = concat(lit(" "), col("l"), col("r"), lit(" "))
+        // Canonical greedy left-to-right merge: fold the symbol list into a
+        // space-joined string, merging when the accumulator's last symbol
+        // is l and the current one is r. The merged symbol is the string
+        // l+r != l, so it never re-matches as a left operand within the
+        // round — the fold IS the index scan (odd self-paired runs
+        // included: "a a a a a" -> "aa aa a"). Runs at vocab grain, so the
+        // interpreted HOF lambda is off the corpus-sized hot path.
+        val toks = filter(split(trim(col("__sym")), " "), x => x =!= lit(""))
+        val foldMerged = aggregate(
+          slice(toks, lit(2), size(toks) - 1),
+          element_at(toks, 1),
+          (acc0, t) => when(
+            (acc0 === col("l") ||
+              acc0.endsWith(concat(lit(" "), col("l")))) && t === col("r"),
+            concat(substr(acc0, lit(1), length(acc0) - length(col("l"))),
+              col("l"), col("r")))
+            .otherwise(concat(acc0, lit(" "), t)))
         val merged = vocab
           .crossJoin(broadcast(best))
-          .select(replace(replace(col("__sym"), from, to), from, to).as("__sym"),
+          .select(concat(lit(" "), foldMerged, lit(" ")).as("__sym"),
             col("__n"))
           .localCheckpoint()
-        val row = best.select(
-          lit(round).as("round"), col("l").as("left_sym"), col("r").as("right_sym"),
-          concat(col("l"), col("r")).as("merged"), col("pair_count"))
+        val row = best
+          .filter(col("pair_count") >= 0)
+          .select(
+            lit(round).as("round"), col("l").as("left_sym"), col("r").as("right_sym"),
+            concat(col("l"), col("r")).as("merged"), col("pair_count"))
         (merged, acc :+ row)
     }
   }

@@ -641,7 +641,8 @@ object CorpusQueries {
     // BPE subword-merge training, 3 rounds: corpus touched once for word
     // counts, rounds run at vocab grain, the merge table is integers and
     // strings only — exact by construction. The DuckDB oracle unrolls the
-    // identical three rounds (same 2-pass replace merge construction).
+    // identical three rounds (same greedy left-to-right list_reduce merge
+    // fold — canonical BPE, odd self-paired runs included).
     Q("q_bpe_merges",
       (s, dir) => Curation.bpeTrain(t(s, dir, "documents"), "text", rounds = 3),
       Some("""
@@ -655,8 +656,11 @@ object CorpusQueries {
                UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
           GROUP BY 1, 2),
         b1 AS (SELECT l, r, pair_count FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
-        v1 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
-                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+        v1 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
                FROM v0 v CROSS JOIN b1 b),
         p2 AS (
           SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
@@ -664,8 +668,11 @@ object CorpusQueries {
                UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
           GROUP BY 1, 2),
         b2 AS (SELECT l, r, pair_count FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
-        v2 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
-                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+        v2 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
                FROM v1 v CROSS JOIN b2 b),
         p3 AS (
           SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
@@ -694,8 +701,11 @@ object CorpusQueries {
                UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
           GROUP BY 1, 2),
         b1 AS (SELECT l, r FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
-        v1 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
-                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+        v1 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
                FROM v0 v CROSS JOIN b1 b),
         p2 AS (
           SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
@@ -703,8 +713,11 @@ object CorpusQueries {
                UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
           GROUP BY 1, 2),
         b2 AS (SELECT l, r FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
-        v2 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
-                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+        v2 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
                FROM v1 v CROSS JOIN b2 b),
         p3 AS (
           SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
@@ -712,8 +725,11 @@ object CorpusQueries {
                UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
           GROUP BY 1, 2),
         b3 AS (SELECT l, r FROM p3 ORDER BY pair_count DESC, l, r LIMIT 1),
-        v3 AS (SELECT replace(replace(v.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' '),
-                              ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS sym, v.n
+        v3 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
                FROM v2 v CROSS JOIN b3 b)
         SELECT replace(trim(sym), ' ', '') AS word, n, trim(sym) AS encoded FROM v3""")),
 

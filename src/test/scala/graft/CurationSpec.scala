@@ -282,6 +282,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got("ba") === ((5L, "ba")))
   }
 
+  test("bpe merge: odd self-paired runs merge greedy left-to-right (advice r4)") {
+    // 'aaaaa' under merge (a,a) must give 'aa aa a' — canonical greedy —
+    // never 'aa a aa' (the old two-pass replace consumed the shared
+    // delimiter). 'ababababab' hits the same case as a 5-run of 'ab'
+    // after round 2's (a,b) merge.
+    val corpus = Seq((1L, "aaaaa aaaaa aaaaa ababababab")).toDF("doc_id", "text")
+    // r1: (a,a)=4*3=12 beats (a,b)=5,(b,a)=4; r2: (a,b)=5; r3: (ab,ab)=4
+    val merges = Curation.bpeTrain(corpus, "text", rounds = 3).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq === Seq((1, "aa", 12L), (2, "ab", 5L), (3, "abab", 4L)))
+    val enc = Curation.bpeEncode(corpus, "text", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(enc("aaaaa") === "aa aa a")
+    assert(enc("ababababab") === "abab abab ab")
+  }
+
+  test("bpeTrain: merge exhaustion stops emitting rows, keeps the vocab (advice r4)") {
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    // round 1 merges (a,b); rounds 2-5 have no adjacent pair left — the
+    // sentinel must neither emit rows nor empty the vocabulary.
+    val merges = Curation.bpeTrain(corpus, "text", rounds = 5).collect()
+    assert(merges.map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq ===
+      Seq((1, "ab", 3L)))
+    val enc = Curation.bpeEncode(corpus, "text", rounds = 5).collect()
+    assert(enc.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq(("ab", 3L, "ab")))
+    assert(Curation.bpeTrain(corpus, "text", rounds = 0).count() === 0L)
+  }
+
   test("property: bpeTrain equals a sequential greedy-BPE replay") {
     def replay(words: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
       var vocab: Seq[(Seq[String], Long)] =
@@ -307,15 +336,24 @@ class CurationSpec extends AnyFunSuite {
         (round, l, r, cnt)
       }
     }
-    val corpus = docs // the shared fixture incl. repetition-heavy + empty docs
-    val words = corpus.collect().flatMap(r =>
-        Option(r.getString(1)).toSeq.flatMap(_.trim.split("\\s+").filter(_.nonEmpty)))
-      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
-    val expected = replay(words, rounds = 3)
-    val got = Curation.bpeTrain(corpus.repartition(5), "text", rounds = 3)
-      .orderBy("round").collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
-    assert(got === expected)
+    // shared fixture (repetition-heavy + empty docs) AND an odd-run corpus
+    // whose winning merges are self-paired / re-paired symbols with run
+    // lengths 5 and 7 — the case the two-pass replace diverged on.
+    val oddRuns = Seq(
+      (90L, "aaaaa aaaaa aaaaa aaaaaaa ababababab"),
+      (91L, "ccccc cc c ababab abab"),
+      (92L, "aabaa aabaa baaab")
+    ).toDF("doc_id", "text")
+    for (corpus <- Seq(docs, oddRuns)) {
+      val words = corpus.collect().flatMap(r =>
+          Option(r.getString(1)).toSeq.flatMap(_.trim.split("\\s+").filter(_.nonEmpty)))
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val expected = replay(words, rounds = 4)
+      val got = Curation.bpeTrain(corpus.repartition(5), "text", rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got === expected)
+    }
   }
 
   test("lmScore: hand-computed conditional-bigram means") {
