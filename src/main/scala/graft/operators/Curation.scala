@@ -192,6 +192,13 @@ object Curation {
       textCol: String,
       queryTerms: Seq[String],
       topK: Int): DataFrame = {
+    // queryTerms is caller-supplied free text: dedupe (a repeated term
+    // scores once, and duplicate pivot columns would be ambiguous) and
+    // pivot onto synthetic per-term indexes, never the raw strings — a
+    // term containing a backtick or colliding with the id/dl column
+    // names must not break column resolution.
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25Retrieve needs at least one query term")
     val toks = TextFns.tokens(col(textCol))
     val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
     val stats = dl.agg(
@@ -199,7 +206,7 @@ object Curation {
       sum(col("dl")).as("__total_len"))
     val tf = docs
       .select(col(idCol), explode(toks).as("__t"))
-      .filter(col("__t").isin(queryTerms: _*))
+      .filter(col("__t").isin(terms: _*))
       .groupBy(col(idCol), col("__t"))
       .agg(count(lit(1)).as("__tf"))
     val dft = tf
@@ -219,12 +226,18 @@ object Curation {
       .join(broadcast(dft), Seq("__t"))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("dl"), col("__t"), contrib.as("__contrib"))
+    val qi = terms.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, i)) => when(col("__t") === lit(t), lit(s"__q$i")).otherwise(acc)
+    }
     val wide = scored
+      .withColumn("__qi", qi)
       .groupBy(col(idCol), col("dl"))
-      .pivot("__t", queryTerms)
+      .pivot("__qi", terms.indices.map(i => s"__q$i"))
       .agg(max(col("__contrib")))
-    val score = queryTerms
-      .map(qt => coalesce(col(s"`$qt`"), lit(0.0)))
+    // summed in query-term order so the double additions sequence
+    // identically in the replaying engine
+    val score = terms.indices
+      .map(i => coalesce(col(s"__q$i"), lit(0.0)))
       .reduceLeft(_ + _)
     wide
       .select(col(idCol), col("dl"), score.as("bm25"))
@@ -556,11 +569,17 @@ object Curation {
     val indexed = fps.join(rare, Seq("fingerprint"), "left_semi")
     val a = indexed.select(col("fingerprint"), col(idCol).as("a_id"))
     val b = indexed.select(col("fingerprint"), col(idCol).as("b_id"))
-    a.join(b, Seq("fingerprint"))
+    val matches = a.join(b, Seq("fingerprint"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      // eager: materialize the (small, post-aggregation) match frame so the
+      // fingerprint cache can be released here instead of leaking for the
+      // session lifetime (repeated calls were accumulating storage blocks)
+      .localCheckpoint()
+    fps.unpersist()
+    matches
   }
 
   /** Bigram language-model quality score: the corpus itself is the model

@@ -173,11 +173,14 @@ object Multimodal {
       val sums = new Array[Double](channels)
       var y = 0
       while (y < th) {
-        val sy = y * sh / th
+        // Long products: a hostile-but-header-valid tall/wide source
+        // (e.g. w=1, h~10M) times a large target dim overflows Int and
+        // would index negatively — same guard class as decodeBmp/decodeWav.
+        val sy = (y.toLong * sh / th).toInt
         var x = 0
         while (x < tw) {
-          val sx = x * sw / tw
-          val base = off + (sy.toLong * sw + sx).toInt * channels
+          val sx = (x.toLong * sw / tw).toInt
+          val base = (off + (sy.toLong * sw + sx) * channels).toInt
           var c = 0
           while (c < channels) { sums(c) += (bytes(base + c) & 0xff); c += 1 }
           x += 1

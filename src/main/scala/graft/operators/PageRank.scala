@@ -79,6 +79,11 @@ object PageRank {
             .as("rank"))
         .localCheckpoint()
     }
+    // the final localCheckpoint is eager, so every iteration has already
+    // read the cached frames — release them rather than leak session-long
+    e.unpersist()
+    nodes.unpersist()
+    withDeg.unpersist()
     finalRanks
   }
 }

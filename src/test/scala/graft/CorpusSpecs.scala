@@ -315,6 +315,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePnm("junk".getBytes, 1, 1).isEmpty)
   }
 
+  test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
+    // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
+    // Int.MaxValue — Int arithmetic would index negatively and throw instead
+    // of honoring the None-on-malformed / Some-on-valid contract.
+    val h = 10000000
+    val header = s"P5\n1 $h\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](h) // zero-filled pixels
+    body(h - 1) = 100.toByte
+    val Some((sw, sh, ch, means)) = Multimodal.resizePnm(header ++ body, 1, 1000)
+    assert((sw, sh, ch) === ((1, h, 1)))
+    // 1000 sampled rows, all zero except none hit the last pixel exactly
+    assert(means(0) === 0.0)
+  }
+
   test("decodeBmp really parses BMP: padding, bottom-up vs top-down, rejection") {
     // 2x2 24-bit BMP, stride 8 (2 pad bytes per row). Logical pixels
     // (top-down, BGR): (0,0)=(1,2,3) (1,0)=(4,5,6) (0,1)=(7,8,9) (1,1)=(10,11,12)
