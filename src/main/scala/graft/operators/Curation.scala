@@ -765,4 +765,150 @@ object Curation {
         when(col("n_spans") > 0,
           col("n_boiler").cast("double") / col("n_spans").cast("double")))
   }
+
+  /** Variable-length exact-substring duplicate extents — the ExactSubstr
+    * operator of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499 §4.1): for every document, the
+    * MAXIMAL token intervals covered by some substring of at least
+    * `minTokens` tokens that occurs at least `minCount` times in the
+    * corpus. The reference implementation builds a suffix array over the
+    * concatenated corpus — inherently sequential; the equivalent
+    * distributed characterization used here: a position is duplicated iff
+    * some `minTokens`-gram containing it occurs elsewhere, and the union
+    * of duplicated fixed-length grams IS the union of all duplicated
+    * substrings of length >= `minTokens` (every maximal repeat of length
+    * M >= L covers exactly its M-L+1 L-grams, each itself duplicated; and
+    * any duplicated L-gram lies inside some maximal repeat). Merging
+    * overlapping-or-adjacent covered grams therefore yields the exact
+    * variable-length extents — a 73-token repeat comes out as ONE 73-token
+    * span, not 69 fixed spans.
+    *
+    * With `distinctDocs = true` the duplication test counts DISTINCT
+    * containing documents instead of total occurrences — the boilerplate
+    * convention ([[boilerplateRatio]]); the default counts occurrences, so
+    * within-document repeats dedup too (the Lee et al. convention).
+    *
+    * Shape at scale: positional grams (codegen `ShingleList`, one explode)
+    * → gram-key count with map-side combine → semi-join back (both
+    * shuffles carry 16-hex md5 prefixes, never raw span text) → per-doc
+    * window merge. Inverted-index shaped end to end — the only per-doc
+    * state is the covered-gram list, bounded by document length, and
+    * nothing is ever pairwise in the corpus.
+    *
+    * @return (idCol, start_pos, end_pos, span_tokens) — 0-based inclusive
+    *         token positions, one row per maximal duplicated extent
+    */
+  def exactSubstrSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      minCount: Int = 2,
+      distinctDocs: Boolean = false): DataFrame = {
+    require(minTokens > 0 && minCount >= 2,
+      s"need positive gram size and minCount >= 2: minTokens=$minTokens minCount=$minCount")
+    def grams = docs
+      .select(col(idCol),
+        posexplode(TextFns.shingleList(TextFns.tokens(col(textCol)), minTokens))
+          .as(Seq("pos", "__g")))
+      .select(col(idCol), col("pos"), substring(md5(col("__g")), 1, 16).as("__gk"))
+    val occurrences =
+      if (distinctDocs) countDistinct(col(idCol)) else count(lit(1))
+    val dup = grams
+      .groupBy(col("__gk"))
+      .agg(occurrences.as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__gk"))
+    val covered = grams.join(dup, Seq("__gk"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    // two covered grams at positions p < q belong to one extent iff their
+    // token intervals [p, p+L-1], [q, q+L-1] overlap or touch: q - p <= L
+    val brk = when(col("pos") - lag(col("pos"), 1).over(w) <= minTokens, lit(0))
+      .otherwise(lit(1)) // first row: lag is null -> null condition -> 1
+    covered
+      .withColumn("__brk", brk)
+      .withColumn("__grp", sum(col("__brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(minTokens - 1)).as("end_pos"))
+      .select(col(idCol),
+        col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+  }
+
+  /** Remove span-covered tokens from documents — the REWRITE half of
+    * exact-substring / boilerplate dedup (detection alone is analysis;
+    * pipelines ship the cleaned text). `spans` is any (idCol, start_pos,
+    * end_pos) frame of 0-based inclusive token intervals — the output of
+    * [[exactSubstrSpans]] or any detector sharing its contract. The
+    * cleaned text is the surviving tokens joined by single spaces
+    * (tokenization already normalized whitespace upstream).
+    *
+    * Shape at scale: intervals explode to covered positions (bounded by
+    * document length, already deduplicated by the merged extents), one
+    * anti-join at (doc, pos) grain, and a per-doc ordered reassembly
+    * (sort_array over collected (pos, token) structs — group-local, no
+    * global sort, no collect).
+    *
+    * @return (idCol, clean_text, n_kept, n_removed) — one row per input
+    *         document, including documents with nothing removed
+    */
+  def stripSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame): DataFrame = {
+    val coveredPos = spans
+      .select(col(idCol), explode(sequence(col("start_pos"), col("end_pos"))).as("pos"))
+    val kept = docs
+      .select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "__tok")))
+      .join(coveredPos, Seq(idCol, "pos"), "left_anti")
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"), col("__tok").as("t")))),
+            x => x.getField("t")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("__n_tokens"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** [[exactSubstrSpans]] + [[stripSpans]] composed: the end-to-end Lee et
+    * al. ExactSubstr dedup — every token covered by a >= `minTokens`-token
+    * substring occurring >= `minCount` times in the corpus is dropped.
+    */
+  def exactSubstrStrip(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      minCount: Int = 2): DataFrame =
+    stripSpans(docs, idCol, textCol,
+      exactSubstrSpans(docs, idCol, textCol, minTokens, minCount))
+
+  /** [[stripSpans]] over boilerplate extents: tokens covered by a
+    * `spanTokens`-token span occurring in >= `minDocs` DISTINCT documents
+    * are dropped — the rewrite [[boilerplateRatio]] only measures.
+    */
+  def boilerplateStrip(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int,
+      minDocs: Int): DataFrame =
+    stripSpans(docs, idCol, textCol,
+      exactSubstrSpans(docs, idCol, textCol, spanTokens, minDocs, distinctDocs = true))
 }

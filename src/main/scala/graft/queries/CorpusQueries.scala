@@ -989,6 +989,104 @@ object CorpusQueries {
                END AS boilerplate_ratio
         FROM sh LEFT JOIN hits h ON h.doc_id = sh.doc_id""")),
 
+    // Variable-length exact-substring dedup (Lee et al. 2107.06499 §4.1,
+    // ExactSubstr): maximal token extents covered by a >=5-token substring
+    // occurring >=2 times in the corpus. The oracle replays the identical
+    // characterization: duplicated positional 5-grams (md5-prefix keys),
+    // merged to maximal intervals by the same lag/running-sum grouping —
+    // all integers, exact by construction.
+    Q("q_exact_substr",
+      (s, dir) => Curation.exactSubstrSpans(
+        t(s, dir, "documents"), "doc_id", "text", minTokens = 5, minCount = 2),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16) AS gk
+          FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+          WHERE len(tk) >= 5),
+        dup AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+        cov AS (SELECT doc_id, pos FROM g WHERE gk IN (SELECT gk FROM dup)),
+        b AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                          THEN 0 ELSE 1 END AS brk
+              FROM cov),
+        grp AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+                FROM b)
+        SELECT doc_id,
+               CAST(min(pos) AS INT) AS start_pos,
+               CAST(max(pos) + 4 AS INT) AS end_pos,
+               CAST((max(pos) - min(pos)) + 5 AS INT) AS span_tokens
+        FROM grp GROUP BY doc_id, gid""")),
+
+    // The REWRITE half of ExactSubstr: drop every token covered by a
+    // duplicated >=5-token substring, reassemble the survivors in position
+    // order (string_agg ORDER BY == sorted-struct array_join — exact
+    // string equality), and count removals. One row per input document.
+    Q("q_exact_substr_strip",
+      (s, dir) => Curation.exactSubstrStrip(
+        t(s, dir, "documents"), "doc_id", "text", minTokens = 5, minCount = 2),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16) AS gk
+          FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+          WHERE len(tk) >= 5),
+        dup AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+        cov AS (SELECT doc_id, pos FROM g WHERE gk IN (SELECT gk FROM dup)),
+        covp AS (SELECT DISTINCT doc_id, pos + d AS tpos
+                 FROM cov, UNNEST(range(0, 5)) AS v(d)),
+        alltok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+                   FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        kept AS (SELECT a.doc_id, a.pos, a.tok
+                 FROM alltok a LEFT JOIN covp c
+                   ON a.doc_id = c.doc_id AND a.pos = c.tpos
+                 WHERE c.tpos IS NULL)
+        SELECT t.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+               CAST(count(k.pos) AS BIGINT) AS n_kept,
+               CAST(len(t.tk) - count(k.pos) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        GROUP BY t.doc_id, len(t.tk)""")),
+
+    // Boilerplate REMOVAL: same strip transform over the distinct-document
+    // span convention (a 5-token span in >=2 DISTINCT docs is chrome;
+    // within-doc repetition is not) — the rewrite q_boilerplate measures.
+    Q("q_boilerplate_strip",
+      (s, dir) => Curation.boilerplateStrip(
+        t(s, dir, "documents"), "doc_id", "text", spanTokens = 5, minDocs = 2),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16) AS gk
+          FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+          WHERE len(tk) >= 5),
+        dup AS (SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT doc_id, pos FROM g WHERE gk IN (SELECT gk FROM dup)),
+        covp AS (SELECT DISTINCT doc_id, pos + d AS tpos
+                 FROM cov, UNNEST(range(0, 5)) AS v(d)),
+        alltok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+                   FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        kept AS (SELECT a.doc_id, a.pos, a.tok
+                 FROM alltok a LEFT JOIN covp c
+                   ON a.doc_id = c.doc_id AND a.pos = c.tpos
+                 WHERE c.tpos IS NULL)
+        SELECT t.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+               CAST(count(k.pos) AS BIGINT) AS n_kept,
+               CAST(len(t.tk) - count(k.pos) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        GROUP BY t.doc_id, len(t.tk)""")),
+
     // Product-quantization encoding: per-subspace k-means codebooks +
     // map-only code assignment (see Similarity.pqTrain/pqAssign). Like
     // q_ivf_trained, the trained means are order-dependent doubles → no

@@ -142,6 +142,83 @@ class CurationSpec extends AnyFunSuite {
     assert(ratios(4L).getLong(1) === 0L && ratios(4L).isNullAt(3))
   }
 
+  test("exactSubstrSpans: variable-length repeats come out at maximal extents") {
+    // a 12-token sentence shared by docs 1 and 2, at different offsets,
+    // plus an 8-token within-doc repeat in doc 4 — L=5 grams must merge
+    // into ONE 12-token extent (not 8 fixed spans) and TWO 8-token ones.
+    val shared12 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val phrase8 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val corpus = Seq(
+      (1L, s"intro one two $shared12 tail three"),
+      (2L, s"different start $shared12"),
+      (3L, "completely unique prose with no repeated span anywhere at all today"),
+      (4L, s"$phrase8 x y z $phrase8")
+    ).toDF("doc_id", "text")
+    val got = Curation.exactSubstrSpans(corpus, "doc_id", "text", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set(
+      (1L, 3, 14, 12), // shared12 at tokens 3..14 — one maximal extent
+      (2L, 2, 13, 12),
+      (4L, 0, 7, 8), (4L, 11, 18, 8))) // within-doc repeats, gap 8 > 5 kept apart
+  }
+
+  test("exactSubstrStrip + boilerplateStrip: removal, reassembly, conventions") {
+    val shared12 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val phrase8 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val corpus = Seq(
+      (1L, s"intro one two $shared12 tail three"),
+      (2L, s"different start $shared12"),
+      (3L, "completely unique prose with no repeated span anywhere at all today"),
+      (4L, s"$phrase8 x y z $phrase8"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val stripped = Curation.exactSubstrStrip(corpus, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stripped(1L) === (("intro one two tail three", 5L, 12L)))
+    assert(stripped(2L) === (("different start", 2L, 12L)))
+    assert(stripped(3L)._3 === 0L) // untouched
+    assert(stripped(4L) === (("x y z", 3L, 16L))) // both in-doc copies removed
+    assert(stripped(5L) === (("", 0L, 0L))) // empty doc survives as a row
+    // boilerplate convention: DISTINCT docs — the within-doc repeat is NOT
+    // chrome, so doc 4 keeps everything; the cross-doc sentence still goes
+    val boiler = Curation.boilerplateStrip(corpus, "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(boiler(1L)._1 === "intro one two tail three")
+    assert(boiler(4L) === ((s"$phrase8 x y z $phrase8", 19L, 0L)))
+  }
+
+  test("property: exactSubstrSpans equals a plain-Scala covered-extent replay") {
+    val L = 3
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 30L).map { id =>
+      id -> Seq.fill(8 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def reference: Set[(Long, Int, Int, Int)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+      val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+      toks.foreach { case (_, ts) =>
+        ts.sliding(L).filter(_.size == L).foreach(g =>
+          counts(g) = counts.getOrElse(g, 0) + 1)
+      }
+      toks.flatMap { case (id, ts) =>
+        val cov = ts.sliding(L).zipWithIndex
+          .collect { case (g, p) if g.size == L && counts(g) >= 2 => p }.toSeq
+        val groups = cov.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.head.head <= L =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        groups.map(g => (id, g.min, g.max + L - 1, g.max - g.min + L))
+      }.toSet
+    }
+    val df = corpus.toDF("doc_id", "text").repartition(7)
+    val got = Curation.exactSubstrSpans(df, "doc_id", "text", minTokens = L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === reference)
+    assert(got.nonEmpty) // the small vocab guarantees repeats
+  }
+
   test("winnowFingerprints: window guarantee, short docs, and shared-text overlap") {
     val k = 3; val w = 4
     val corpus = Seq(
