@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
   * libraries): `decodeStub` derives deterministic pseudo-features from the
   * bytes. Everything around it — the schema contract, the partitioning, the
   * batched iterator shape, the feature schema — is the real production
-  * plumbing and is tested. EXCEPTION: the netpbm family (P5/P6) needs no
-  * library, so `decodePnm` is a real decoder — header parse, comment
-  * handling, pixel walk — and `q_image_decode` verifies actual decoded
-  * pixel statistics value-exact against an oracle.
+  * plumbing and is tested. EXCEPTIONS (real, zero-library decoders, each
+  * oracle-verified on decoded pixel/sample statistics): netpbm P5/P6
+  * (`decodePnm` — header parse, comments, pixel walk, plus a real
+  * nearest-neighbor `resizePnm`), 24-bit BMP (`decodeBmp` — little-endian
+  * headers, padded strides, bottom-up rows), PCM16 WAV (`decodeWav` +
+  * integer decimator), and PNG (`decodePng` — chunk walk, multi-IDAT zlib
+  * inflate via the JDK's `java.util.zip.Inflater`, all five scanline
+  * filters). The stub now stands in only for formats whose codecs
+  * genuinely need external libraries (JPEG, video containers).
   *
   * Scale notes: payload columns dominate I/O, so feature extraction selects
   * only (id, content) before the mapPartitions stage (column pruning reaches
@@ -374,6 +379,215 @@ object Multimodal {
             Row(r.getAs[Long]("doc_id"), w, h, mb, mg, mr, b00, g00, r00)
           case None =>
             Row(r.getAs[Long]("doc_id"), null, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** A REAL image decoder for PNG (RFC 2083) — the dominant compressed web
+    * image format, decodable with zero external libraries because the JDK
+    * ships zlib (`java.util.zip.Inflater`). Full pipeline: signature +
+    * chunk walk (big-endian lengths, CRC fields skipped, ancillary chunks
+    * ignored), IHDR validation (8-bit depth; color types 0/2/6 = gray,
+    * RGB, RGBA; no interlace), multi-IDAT zlib stream reassembly, inflate
+    * into the exact raster size, and per-scanline UNFILTERING of all five
+    * filter types (None/Sub/Up/Average/Paeth) reconstructing in place so
+    * prior-row lookups read reconstructed bytes. Returns per-channel
+    * means. None on anything malformed: bad magic, truncated chunk or
+    * inflate stream, absurd dimensions (the decodeBmp guard class — all
+    * size arithmetic in Long), unknown filter type, wrong raster length.
+    */
+  private[graft] def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length < 8 + 12 + 13) return None
+    var k = 0
+    while (k < 8) { if ((bytes(k) & 0xff) != sig(k)) return None; k += 1 }
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    var pos = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false; var ended = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!ended) {
+      if (pos + 8 > bytes.length) return None
+      val len = u32(pos)
+      if (pos + 12L + len > bytes.length) return None // Long: hostile u32 lengths
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      ctype match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13L) return None
+          seenIhdr = true
+          val ww = u32(dataOff); val hh = u32(dataOff + 4)
+          val bitDepth = bytes(dataOff + 8) & 0xff
+          channels = (bytes(dataOff + 9) & 0xff) match {
+            case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+          }
+          val okTail = (bytes(dataOff + 10) & 0xff) == 0 && // compression
+            (bytes(dataOff + 11) & 0xff) == 0 &&            // filter method
+            (bytes(dataOff + 12) & 0xff) == 0               // no interlace
+          if (bitDepth != 8 || !okTail) return None
+          if (ww <= 0 || hh <= 0 || ww > (1 << 20) || hh > (1 << 20) ||
+            ww * hh * channels > (1L << 26)) return None // 64 MiB raster cap
+          w = ww.toInt; h = hh.toInt
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, dataOff, len.toInt)
+        case "IEND" => ended = true
+        case _ => // ancillary chunk: skip by declared size
+      }
+      pos = dataOff + len.toInt + 4 // step over data + CRC
+    }
+    if (!seenIhdr) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h) // +1 filter byte per row
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n =
+          try inf.inflate(raw, off, raw.length - off)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } finally inf.end()
+    val bpp = channels // 8-bit samples: filter distance = one pixel
+    def recon(y: Int, x: Int): Int = raw(y * (stride + 1) + 1 + x) & 0xff
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) recon(y, x - bpp) else 0
+        val b = if (y > 0) recon(y - 1, x) else 0
+        val c = if (x >= bpp && y > 0) recon(y - 1, x - bpp) else 0
+        val f = recon(y, x)
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + x) = (v & 0xff).toByte // in place
+        x += 1
+      }
+      y += 1
+    }
+    val sums = new Array[Double](channels)
+    var p = 0
+    while (p < w * h) {
+      var c = 0
+      while (c < channels) {
+        sums(c) += recon(p / w, (p % w) * channels + c)
+        c += 1
+      }
+      p += 1
+    }
+    Some((w, h, channels, sums.map(_ / (w.toDouble * h))))
+  }
+
+  /** Deterministic PNG fixture: a real, spec-complete RGB PNG per id
+    * (width 4 + id%5, height 3 + id%4; logical raster byte k = (id*13 +
+    * 5k) % 256) — every scanline is filtered with type y % 5 before
+    * deflation, so all five unfilter paths are exercised against the
+    * closed-form oracle, the zlib stream is a REAL Deflater stream split
+    * across two IDAT chunks, and chunk CRCs are real CRC32s.
+    */
+  def pngFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val ch = 3
+      val stride = w * ch
+      // logical raster, then per-row filtering (the ENCODE direction:
+      // filtered = raw - predictor, mod 256)
+      def rv(p: Int): Int = ((id * 13 + 5 * p) % 256).toInt
+      val filtered = new Array[Byte]((stride + 1) * h)
+      var y = 0
+      while (y < h) {
+        val ft = y % 5
+        filtered(y * (stride + 1)) = ft.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = rv(y * stride + x)
+          val a = if (x >= ch) rv(y * stride + x - ch) else 0
+          val b = if (y > 0) rv((y - 1) * stride + x) else 0
+          val c = if (x >= ch && y > 0) rv((y - 1) * stride + x - ch) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          filtered(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(filtered); deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](512)
+      while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val z = zbuf.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(ctype: String, data: Array[Byte]): Unit = {
+        def u32be(v: Long): Array[Byte] =
+          Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+        out.write(u32be(data.length))
+        val tb = ctype.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(u32be(crc.getValue))
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+      ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+      ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+      ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+      ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (truecolor)
+      chunk("IHDR", ihdr)
+      val cut = z.length / 2 // split the zlib stream: multi-IDAT is real
+      chunk("IDAT", z.slice(0, cut))
+      chunk("IDAT", z.slice(cut, z.length))
+      chunk("IEND", Array.emptyByteArray)
+      (id, out.toByteArray)
+    }.toDF("doc_id", "content")
+  }
+
+  /** Batched per-partition PNG decode — same map-only shape as
+    * `decodePnmFeatures`, with the real inflate+unfilter decoder inside.
+    */
+  def decodePngFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imageFeatureSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        decodePng(r.getAs[Array[Byte]]("content")) match {
+          case Some((w, h, ch, means)) =>
+            Row(r.getAs[Long]("doc_id"), w, h, ch,
+              means(0),
+              if (ch >= 3) means(1) else null,
+              if (ch >= 3) means(2) else null)
+          case None =>
+            Row(r.getAs[Long]("doc_id"), null, null, null, null, null, null)
         }
       }
     }(enc)

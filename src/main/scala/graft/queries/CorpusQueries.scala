@@ -1338,6 +1338,26 @@ object CorpusQueries {
                CAST((doc_id * 11 + 2) % 256 AS INT) AS r00
         FROM px GROUP BY doc_id, w, h""")),
 
+    // REAL PNG decode (zero external libraries — zlib ships in the JDK):
+    // each fixture is a spec-complete RGB PNG whose scanlines cycle
+    // through ALL FIVE filter types before a real Deflater pass split
+    // across two IDAT chunks; the decoder walks chunks, inflates, and
+    // unfilters, and the decoded per-channel means hash-verify against
+    // the closed-form raster formula. A filter/stride/inflate bug cannot
+    // produce these means.
+    Q("q_png_decode",
+      (s, dir) => Multimodal.decodePngFeatures(
+        Multimodal.pngFixture(t(s, dir, "documents"), "doc_id")),
+      Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               3 AS channels,
+               CAST(sum((doc_id * 13 + 5 * (3 * p + 0)) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_r,
+               CAST(sum((doc_id * 13 + 5 * (3 * p + 1)) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_g,
+               CAST(sum((doc_id * 13 + 5 * (3 * p + 2)) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_b
+        FROM px GROUP BY doc_id, w, h""")),
+
     // Sequence packing (concat-and-chop batch prep): per-language shards,
     // 2048-token training windows; each doc gets its token-offset interval
     // and spanned bin range from ONE bounded cumulative-sum window per

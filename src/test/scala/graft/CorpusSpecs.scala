@@ -315,6 +315,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePnm("junk".getBytes, 1, 1).isEmpty)
   }
 
+  test("decodePng: all five filter types via the fixture, closed-form means, multi-IDAT") {
+    // fixture id=3: 7x6 RGB — scanlines filtered 0,1,2,3,4,0 (full filter
+    // coverage) and the zlib stream split across two IDAT chunks
+    val bytes = Multimodal.pngFixture(Seq(3L).toDF("doc_id"), "doc_id")
+      .collect()(0).getAs[Array[Byte]]("content")
+    val Some((w, h, ch, means)) = Multimodal.decodePng(bytes)
+    assert((w, h, ch) === ((7, 6, 3)))
+    val n = w * h
+    def mean(c: Int): Double =
+      (0 until n).map(p => ((3L * 13 + 5 * (3 * p + c)) % 256).toDouble).sum / n
+    assert(means.toSeq === Seq(mean(0), mean(1), mean(2)))
+  }
+
+  test("decodePng: grayscale + RGBA paths, malformed-input rejection") {
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def png(w: Int, h: Int, colorType: Int, filtered: Array[Byte],
+        bitDepth: Int = 8, interlace: Int = 0): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(t: String, data: Array[Byte]): Unit = {
+        def be(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+        out.write(be(data.length)); val tb = t.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val c = new java.util.zip.CRC32(); c.update(tb); c.update(data)
+        out.write(be(c.getValue))
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(3) = w.toByte; ihdr(7) = h.toByte
+      ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte; ihdr(12) = interlace.toByte
+      chunk("IHDR", ihdr); chunk("IDAT", deflate(filtered)); chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    // 2x2 grayscale, unfiltered rows: pixels 10 20 / 30 40 -> mean 25
+    val g = png(2, 2, 0, Array[Byte](0, 10, 20, 0, 30, 40))
+    val Some((gw, gh, gch, gm)) = Multimodal.decodePng(g)
+    assert((gw, gh, gch) === ((2, 2, 1)) && gm.toSeq === Seq(25.0))
+    // 1x1 RGBA
+    val Some((_, _, ach, am)) = Multimodal.decodePng(png(1, 1, 6, Array[Byte](0, 1, 2, 3, 4)))
+    assert(ach === 4 && am.toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+    // rejection: unknown filter, interlace, 16-bit, truncation, bad magic,
+    // corrupt zlib header, declared-vs-actual raster mismatch, palette type
+    assert(Multimodal.decodePng(png(2, 2, 0, Array[Byte](7, 10, 20, 0, 30, 40))).isEmpty)
+    assert(Multimodal.decodePng(png(2, 2, 0, Array[Byte](0, 10, 20, 0, 30, 40), interlace = 1)).isEmpty)
+    assert(Multimodal.decodePng(png(2, 2, 0, Array[Byte](0, 10, 20, 0, 30, 40), bitDepth = 16)).isEmpty)
+    assert(Multimodal.decodePng(g.dropRight(1)).isEmpty)
+    val badMagic = g.clone(); badMagic(0) = 0x00
+    assert(Multimodal.decodePng(badMagic).isEmpty)
+    val corrupt = g.clone(); corrupt(41) = 0xff.toByte // zlib CMF byte
+    assert(Multimodal.decodePng(corrupt).isEmpty)
+    assert(Multimodal.decodePng(png(3, 2, 0, Array[Byte](0, 10, 20, 0, 30, 40))).isEmpty)
+    assert(Multimodal.decodePng(png(2, 2, 3, Array[Byte](0, 10, 20, 0, 30, 40))).isEmpty)
+    assert(Multimodal.decodePng("junk".getBytes).isEmpty)
+  }
+
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
     // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
     // Int.MaxValue — Int arithmetic would index negatively and throw instead
