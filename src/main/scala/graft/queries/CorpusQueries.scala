@@ -1107,6 +1107,38 @@ object CorpusQueries {
       },
       None),
 
+    // IVF-PQ search (FAISS IndexIVFPQ composition): nprobe=2 coarse
+    // clusters over FIXED coarse centroids (first 8 embeddings — the
+    // q_ivf_assign convention), a FIXED 16-entry-per-subspace codebook
+    // sliced from embeddings 8..23, ADC top-10 for query vector 0. The
+    // artifacts are deterministic, but the ADC distance is a 4-term
+    // double sum in engine order → rows-only check (like q_pq_codes);
+    // SimilarityPqSpec pins the composition identity (ivfPqTopK ==
+    // pqTopK restricted to probed clusters) and the PQ recall contract.
+    Q("q_ivfpq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val m = 4; val sub = 16
+        val centroids = e.filter(col("vec_id") < 8)
+          .withColumnRenamed("vec_id", "centroid_id")
+        val assigned = Similarity.ivfAssign(
+          e, centroids, "vec_id", "embedding", "centroid_id")
+        val cbSrc = e.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+        val codebook = (0 until m).map(sp => cbSrc.select(
+          lit(sp).as("subspace"),
+          (col("vec_id") - 7).cast("long").as("centroid_id"),
+          slice(col("embedding"), sp * sub + 1, sub).as("embedding")))
+          .reduce(_ unionByName _)
+        val codes = Similarity.pqAssign(e, codebook, "vec_id", "embedding", m, sub)
+        Similarity.ivfPqTopK(
+          assigned, codes, codebook,
+          query = e.filter(col("vec_id") === 0),
+          centroids = centroids,
+          idCol = "vec_id", vecCol = "embedding", centroidIdCol = "centroid_id",
+          nprobe = 2, sub = sub, k = 10)
+      },
+      None),
+
     // End-to-end curation pipeline as ONE declarative plan: Gopher-style
     // quality gate → bag-of-words exact dedup (earliest doc wins) among the
     // survivors → per-language corpus yield (raw / post-quality / post-dedup

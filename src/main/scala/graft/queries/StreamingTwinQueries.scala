@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Scd2, TextDedup}
-import graft.streaming.{StreamingNearDup, StreamingScd2}
+import graft.streaming.{StreamingDedup, StreamingNearDup, StreamingScd2}
 import Q.t
 
 /** Oracle-backed BATCH twins of the streaming sinks — the exact merge /
@@ -135,6 +135,49 @@ object StreamingTwinQueries {
         JOIN sh sa ON sa.doc_id = cand.doc_id
         JOIN sh sb ON sb.doc_id = cand.corpus_id
         WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) >= 0.5"""))
+                / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) >= 0.5""")),
+
+    // The (keys, event-time)-scoped suppression relation of the streaming
+    // dedup sink (streaming/StreamingDedup.scala): a published target of
+    // pre-Jan-20 earliest-wins events, then a micro-batch spanning
+    // Jan 15-25 — five days of REDELIVERED rows (same key, same event
+    // time: suppressed) plus five days of new arrivals (appended; only
+    // the earliest per key, the within-batch dedup). The oracle replays
+    // both window ranks and the anti-join exactly — no doubles in the
+    // relation's keys, so the hash is exact.
+    Q("q_stream_dedup_batch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        val published = graft.operators.Dedup.firstRows(
+          ev.filter(col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz")),
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        val batch = ev.filter(
+          col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp_ntz") &&
+            col("ts") < lit("2024-01-25 00:00:00").cast("timestamp_ntz"))
+        StreamingDedup.suppressBatch(
+          published, batch, Seq("user_id", "event_type"), "ts", Seq(col("event_id")))
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, ts, user_id, event_type, value FROM events),
+        pub AS (
+          SELECT user_id, event_type, ts FROM (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS rn
+            FROM ev WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+          WHERE rn = 1),
+        ded AS (
+          SELECT event_id, ts, user_id, event_type, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS rn
+            FROM ev
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+              AND ts < TIMESTAMP '2024-01-25 00:00:00')
+          WHERE rn = 1)
+        SELECT d.event_id, d.ts, d.user_id, d.event_type, d.value
+        FROM ded d LEFT JOIN pub p
+          ON d.user_id = p.user_id AND d.event_type = p.event_type AND d.ts = p.ts
+        WHERE p.ts IS NULL"""))
   )
 }

@@ -21,6 +21,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingDedup {
 
+  /** The batch VALUE-twin of one micro-batch through this operator — the
+    * (keys, event-time)-scoped suppression relation the sink enforces,
+    * exposed pure so the correctness gate can hash-grade it
+    * (`q_stream_dedup_batch`) while the MemoryStream spec proves the
+    * mechanics (state expiry, idempotent replay):
+    *
+    *  1. within-batch dedup: earliest event per key, totally ordered by
+    *     (tsCol, tiebreak) — the deterministic event-time counterpart of
+    *     `dropDuplicatesWithinWatermark`'s first-arrival-wins (identical
+    *     when delivery is event-time ordered);
+    *  2. the sink's conflict guard: anti-join on (keys :+ tsCol) against
+    *     `published`, the target rows of the redelivery window — a
+    *     redelivered row (same key, same event time) is suppressed, a key
+    *     reappearing with a NEW event time appends (see the sink comment
+    *     below; same relation `IncrementalIngest.pendingRows` computes
+    *     against the partition-pruned target).
+    */
+  def suppressBatch(
+      published: DataFrame,
+      batch: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tiebreak: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
+    val deduped = graft.operators.Dedup.firstRows(
+      batch, keys, org.apache.spark.sql.functions.col(tsCol) +: tiebreak)
+    graft.operators.Incremental.newKeys(deduped, published, keys :+ tsCol)
+  }
+
   /** Suppress duplicate `keys` within the `delayThreshold` event-time
     * watermark on `tsCol`, appending survivors idempotently to `outPath`.
     */

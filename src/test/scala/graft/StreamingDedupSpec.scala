@@ -53,4 +53,29 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(readOut() === Seq(1L, 1L, 2L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("suppressBatch: the pure (keys, event-time) suppression relation") {
+    // published target: keys 1 and 2 at their first event times
+    val published = Seq((1L, ts(0), "a"), (2L, ts(5), "b"))
+      .toDF("k", "ts", "payload")
+    // batch: a redelivery of (1, ts0), a LATER row for key 1 (new event
+    // time — appends), an in-batch duplicate pair for key 3 (earliest
+    // wins), and a tie on (key, ts) broken by payload
+    val batch = Seq(
+      (1L, ts(0), "a-redelivered"), // suppressed: same (k, ts) as published
+      (1L, ts(20), "a-new"),        // would append — but see below
+      (3L, ts(2), "c-late"), (3L, ts(1), "c-first"), // in-batch: earliest wins
+      (4L, ts(3), "z"), (4L, ts(3), "y")             // tie -> payload order
+    ).toDF("k", "ts", "payload")
+    val got = StreamingDedup.suppressBatch(
+      published, batch, Seq("k"), "ts",
+      tiebreak = Seq(org.apache.spark.sql.functions.col("payload")))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet
+    // key 1: within-batch dedup keeps the EARLIEST row — the redelivery —
+    // which the conflict guard then suppresses (the later arrival stays
+    // deduped away, matching the stream's in-horizon state semantics)
+    assert(got === Set(
+      (3L, ts(1), "c-first"),
+      (4L, ts(3), "y")))
+  }
 }
