@@ -313,6 +313,49 @@ object Curation {
       col("__n").as("n"),
       trim(col("__sym")).as("encoded"))
 
+  /** BPE tokenization applied at CORPUS grain: every document position
+    * becomes its word's subword ids — the tokenize step feeding sequence
+    * packing ([[packSequences]]), composed from the same declarative fold
+    * as [[bpeTrain]]/[[bpeEncode]] so train → encode → corpus ids is one
+    * verified path. Subword ids are dense ranks by (corpus frequency
+    * desc, subword) — deterministic, and no OOV is possible since the
+    * segmentation was trained on this corpus.
+    *
+    * Shape at scale: training touches the corpus once (word counts);
+    * application is a broadcast join of the vocab-grain segmentation onto
+    * positional tokens plus a shuffle-free positional explode — the
+    * ranking window runs at SUBWORD grain only (|subvocab| rows), never
+    * over the corpus.
+    *
+    * @return (idCol, pos, sub_pos, token_id) — word position within the
+    *         document, subword position within the word
+    */
+  def bpeTokenIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = bpeRun(docs, textCol, rounds)._1.select(
+      replace(trim(col("__sym")), lit(" "), lit("")).as("__word"),
+      col("__n"),
+      split(trim(col("__sym")), " ").as("__subs"))
+    val vocab = enc
+      .select(col("__n"), explode(col("__subs")).as("__sub"))
+      .groupBy(col("__sub"))
+      .agg(sum(col("__n")).as("__cnt"))
+      // subword-grain frame: the single-partition window is bounded
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("__cnt").desc, col("__sub"))).cast("int"))
+      .select(col("__sub"), col("token_id"))
+    docs
+      .select(col(idCol), posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "__word")))
+      .join(broadcast(enc.select(col("__word"), col("__subs"))), Seq("__word"))
+      .select(col(idCol), col("pos"), posexplode(col("__subs")).as(Seq("sub_pos", "__sub")))
+      .join(broadcast(vocab), Seq("__sub"))
+      .select(col(idCol), col("pos"), col("sub_pos"), col("token_id"))
+  }
+
   private def bpeRun(
       docs: DataFrame,
       textCol: String,

@@ -733,6 +733,74 @@ object CorpusQueries {
                FROM v2 v CROSS JOIN b3 b)
         SELECT replace(trim(sym), ' ', '') AS word, n, trim(sym) AS encoded FROM v3""")),
 
+    // BPE tokenization applied at CORPUS grain — train (3 rounds) →
+    // segment → positional subword ids, one verified path. The oracle
+    // replays the identical fold, ranks subwords by (frequency desc,
+    // subword), and re-applies segmentations positionally; everything is
+    // integers and strings, exact by construction.
+    Q("q_bpe_token_ids",
+      (s, dir) => Curation.bpeTokenIds(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 3),
+      Some("""
+        WITH v0 AS (
+          SELECT ' ' || regexp_replace(tk, '(.)', '\1 ', 'g') AS sym, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents)
+          GROUP BY 1),
+        p1 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v0) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b1 AS (SELECT l, r FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v1 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
+               FROM v0 v CROSS JOIN b1 b),
+        p2 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v1) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b2 AS (SELECT l, r FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v2 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
+               FROM v1 v CROSS JOIN b2 b),
+        p3 AS (
+          SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(b.n) AS BIGINT) AS pair_count
+          FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS s, n FROM v2) b,
+               UNNEST(list_transform(range(1, len(b.s)), i -> [b.s[i], b.s[i+1]])) AS u(p)
+          GROUP BY 1, 2),
+        b3 AS (SELECT l, r FROM p3 ORDER BY pair_count DESC, l, r LIMIT 1),
+        v3 AS (SELECT ' ' || list_reduce(
+                 list_filter(string_split(trim(v.sym), ' '), x -> x <> ''),
+                 (acc, t) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND t = b.r
+                             THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                             ELSE acc || ' ' || t END) || ' ' AS sym, v.n
+               FROM v2 v CROSS JOIN b3 b),
+        seg AS (SELECT replace(trim(sym), ' ', '') AS word, n,
+                       list_filter(string_split(trim(sym), ' '), x -> x <> '') AS subs
+                FROM v3),
+        vocab AS (
+          SELECT sub, CAST(row_number() OVER (ORDER BY sum(n) DESC, sub) AS INT) AS token_id
+          FROM (SELECT n, unnest(subs) AS sub FROM seg)
+          GROUP BY sub),
+        pos AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS word
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
+               UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        app AS (
+          SELECT p.doc_id, p.pos, j - 1 AS sub_pos, s.subs[j] AS sub
+          FROM pos p JOIN seg s ON p.word = s.word,
+               UNNEST(range(1, len(s.subs) + 1)) AS w(j))
+        SELECT a.doc_id, CAST(a.pos AS INT) AS pos,
+               CAST(a.sub_pos AS INT) AS sub_pos, v.token_id
+        FROM app a JOIN vocab v ON a.sub = v.sub""")),
+
     // Deterministic per-language eval split: first 10 docs per language in
     // md5-of-id order — reproducible held-out set construction. Spark 4's
     // WindowGroupLimit pushes the rank<=10 filter below the sort, so each

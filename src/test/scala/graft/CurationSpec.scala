@@ -359,6 +359,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got("ba") === ((5L, "ba")))
   }
 
+  test("bpeTokenIds: corpus-grain subword ids from the trained segmentation") {
+    val corpus = Seq(
+      (1L, "abab abab abab aab aab"),
+      (2L, "ba ba ba ba ba")
+    ).toDF("doc_id", "text")
+    // after 2 rounds (see bpeTrain spec): abab -> [ab ab], aab -> [a ab],
+    // ba -> [ba]; subword corpus freqs ab=8, ba=5, a=2 -> ids 1, 2, 3
+    val got = Curation.bpeTokenIds(corpus, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val doc1 = (0 to 2).flatMap(p => Seq((1L, p, 0, 1), (1L, p, 1, 1))) ++
+      Seq((1L, 3, 0, 3), (1L, 3, 1, 1), (1L, 4, 0, 3), (1L, 4, 1, 1))
+    val doc2 = (0 to 4).map(p => (2L, p, 0, 2))
+    assert(got === (doc1 ++ doc2).toSet)
+  }
+
   test("bpe merge: odd self-paired runs merge greedy left-to-right (advice r4)") {
     // 'aaaaa' under merge (a,a) must give 'aa aa a' — canonical greedy —
     // never 'aa a aa' (the old two-pass replace consumed the shared
