@@ -31,6 +31,14 @@ object Bench {
     // chatter would push the JSON line out of its window.
     spark.sparkContext.setLogLevel("ERROR")
 
+    def load1Now(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // background load BEFORE the bench's own threads contribute: the
+    // end-of-run load1 always reads high (~cpus after a saturating run),
+    // so contamination is only visible in the start value
+    val load1Start = load1Now()
+
     // sorted: Map iteration order is hash-based, which made per-query time
     // attribution nondeterministic across rounds for queries that share
     // cached upstream state (whichever q_dag_* ran first paid the cache)
@@ -83,19 +91,18 @@ object Bench {
     try {
       val detail = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      // machine load at measurement time: bench totals are load-sensitive
-      // (+0.5 s/query uniform drift observed under background load), so the
-      // number is only interpretable next to the 1-minute load average
-      val load1 =
-        try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
-        catch { case _: Throwable => -1.0 }
+      // machine load: bench totals are load-sensitive (+0.5 s/query uniform
+      // drift observed under background load), so the number is only
+      // interpretable next to load1_start (pre-run background load; the
+      // end-of-run load1 includes the bench's own saturating threads)
+      val load1 = load1Now()
       val uptimeSec =
         try scala.io.Source.fromFile("/proc/uptime").mkString.split("\\s+")(0).toDouble
         catch { case _: Throwable => -1.0 }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
-        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"queries":$detail}""" + "\n")
+        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1_start":${f2(load1Start)},"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
     println(fits.getOrElse(line(Seq.empty, total)))
