@@ -220,3 +220,118 @@ object NfcNormalize {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** Fused Gopher repetition suite (Rae et al. 2112.11446, Table A1): the
+  * nine within-document n-gram repetition fractions — top-n-gram character
+  * mass for n=2..4 and duplicated-n-gram character coverage for n=5..10 —
+  * computed in ONE compiled pass over the token array. The relational
+  * formulation (9 × posexplode + groupBy at token grain) would shuffle
+  * every token nine times; here the corpus is touched once and the whole
+  * suite is per-row expression work, the same fusion rationale as
+  * `WinnowFingerprints`.
+  *
+  * Exact semantics (shared with the DuckDB oracle, all integer/single-
+  * division math so the doubles replay bit-for-bit):
+  * - character counts are token characters (Unicode chars, no separators);
+  *   `total` = sum over tokens of numChars.
+  * - top_{n}gram_frac (n=2,3,4): the occurrence count of the most frequent
+  *   positional n-gram (ties broken by byte-order-smallest gram string)
+  *   times the gram's token characters, over `total`.
+  * - dup_{n}gram_frac (n=5..10): characters of tokens covered by at least
+  *   one occurrence of a duplicated n-gram (count >= 2, overlaps counted
+  *   once — a coverage mask, not a sum over occurrences), over `total`.
+  * - fewer than n tokens, or an empty document → 0.0 for that field.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStats.schema
+
+  override protected def nullSafeEval(in: Any): Any =
+    RepetitionStats.compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepetitionStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+  val fieldNames: Seq[String] =
+    (2 to 4).map(n => s"top_${n}gram_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_frac")
+
+  val schema: StructType =
+    StructType(fieldNames.map(StructField(_, DoubleType, nullable = false)))
+
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var total = 0L
+    var i = 0
+    while (i < m) {
+      toks(i) = arr.getUTF8String(i)
+      total += toks(i).numChars()
+      i += 1
+    }
+    val out = new Array[Any](9)
+    var idx = 0
+    var n = 2
+    while (n <= 10) {
+      if (m < n || total == 0L) out(idx) = 0.0
+      else {
+        val g = m - n + 1
+        val grams = new Array[UTF8String](g)
+        val counts = new java.util.HashMap[UTF8String, Int](g * 2)
+        var p = 0
+        while (p < g) {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = toks(p + j); j += 1 }
+          val gram = UTF8String.concatWs(Sep, parts: _*)
+          grams(p) = gram
+          counts.merge(gram, 1, (a, b) => a + b)
+          p += 1
+        }
+        if (n <= 4) {
+          var bestG: UTF8String = null
+          var bestC = 0
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue
+            if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+              bestG = e.getKey; bestC = c
+            }
+          }
+          // token chars only: gram string chars minus its n-1 separators
+          val gramChars = bestG.numChars() - (n - 1)
+          out(idx) = (bestC.toLong * gramChars).toDouble / total.toDouble
+        } else {
+          val covered = new Array[Boolean](m)
+          var q = 0
+          while (q < g) {
+            if (counts.get(grams(q)) > 1) {
+              var j = q
+              while (j < q + n) { covered(j) = true; j += 1 }
+            }
+            q += 1
+          }
+          var cc = 0L
+          var j = 0
+          while (j < m) { if (covered(j)) cc += toks(j).numChars(); j += 1 }
+          out(idx) = cc.toDouble / total.toDouble
+        }
+      }
+      idx += 1
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}

@@ -74,6 +74,15 @@ object TextFns {
         WinnowFingerprints(org.apache.spark.sql.graft.Bridge.expression(tokensCol), k, w)),
       typedLit(Seq.empty[String]))
 
+  /** The fused Gopher repetition suite over a token array (codegen
+    * `RepetitionStats`): one struct of the nine n-gram repetition
+    * fractions (top 2..4-gram character mass, duplicated 5..10-gram
+    * character coverage) in a single compiled pass.
+    */
+  def repetitionStats(tokensCol: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      RepetitionStats(org.apache.spark.sql.graft.Bridge.expression(tokensCol)))
+
   /** Unicode NFC canonical composition (codegen `NfcNormalize` expression).
     * Normalize BEFORE fingerprinting/dedup: composed and decomposed forms
     * of the same visible text must hash identically.

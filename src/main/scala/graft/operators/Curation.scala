@@ -64,6 +64,39 @@ object Curation {
         lit(false)).as("keep"))
   }
 
+  /** The full Gopher within-document repetition suite (Rae et al.
+    * 2112.11446, Table A1) — the filters the word-grain [[gopherSignals]]
+    * verdict does not cover: top-n-gram character mass for n=2..4 and
+    * duplicated-n-gram character coverage for n=5..10, plus the combined
+    * keep/drop verdict at the paper's published thresholds (top: 0.20 /
+    * 0.18 / 0.16; dup: 0.15 down to 0.10). The reference corpus has no
+    * newline structure, so the line/paragraph-grain variants are n/a here;
+    * the n-gram family is the general form (a "line" repeat is an n-gram
+    * repeat at the line's token length).
+    *
+    * Shape at scale: the whole suite is ONE per-row fused codegen
+    * expression ([[graft.functions.RepetitionStats]]) — the corpus is
+    * touched once and nothing shuffles; the relational formulation would
+    * explode tokens nine times. All nine fractions are single divisions of
+    * exact integers, so the DuckDB oracle replays them bit-for-bit.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = TextFns.repetitionStats(TextFns.tokens(col(textCol)))
+    val fields = graft.functions.RepetitionStats.fieldNames
+    val thresholds = Map(
+      "top_2gram_frac" -> 0.20, "top_3gram_frac" -> 0.18, "top_4gram_frac" -> 0.16,
+      "dup_5gram_frac" -> 0.15, "dup_6gram_frac" -> 0.14, "dup_7gram_frac" -> 0.13,
+      "dup_8gram_frac" -> 0.12, "dup_9gram_frac" -> 0.11, "dup_10gram_frac" -> 0.10)
+    docs
+      // two-step select: the struct is materialized once per row and the
+      // field extraction stays a separate cheap projection (CollapseProject
+      // declines to inline a non-cheap expression referenced 9 times)
+      .select(col(idCol), st.as("__r"))
+      .select(col(idCol) +: fields.map(f => col("__r").getField(f).as(f)): _*)
+      .withColumn("keep",
+        fields.map(f => col(f) <= thresholds(f)).reduce(_ && _))
+  }
+
   /** Top-k salient terms per document by log-free TF-IDF:
     * (tf / doc_len) * (n_docs / doc_freq). Deliberate deviation from the
     * textbook idf = ln(N/df): the log is monotone PER TERM but its libm

@@ -527,6 +527,59 @@ object CorpusQueries {
                  false) AS keep
         FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id""")),
 
+    // Full Gopher n-gram repetition suite (Rae et al. 2112.11446 Table A1):
+    // top 2/3/4-gram char mass + duplicated 5..10-gram char coverage +
+    // keep verdict at the paper's thresholds — ONE fused codegen pass on
+    // the Spark side (RepetitionStats), relational replay in the oracle.
+    Q("q_repetition",
+      (s, dir) => Curation.repetitionSignals(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tkl AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+        g AS (
+          SELECT t.doc_id, ns.n, CAST(u.i AS INT) AS i,
+                 array_to_string(t.tk[CAST(u.i AS INT):CAST(u.i AS INT) + ns.n - 1], ' ') AS gram
+          FROM tkl t CROSS JOIN ns, UNNEST(range(1, len(t.tk) - ns.n + 2)) u(i)
+          WHERE len(t.tk) >= ns.n),
+        c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        topf AS (
+          SELECT doc_id, n, CAST(cnt * (length(gram) - (n - 1)) AS BIGINT) AS chars
+          FROM (SELECT doc_id, n, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+                FROM c WHERE n <= 4)
+          WHERE rn = 1),
+        cov AS (
+          SELECT DISTINCT g.doc_id, g.n, CAST(u2.j AS INT) AS j
+          FROM g JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram,
+               UNNEST(range(g.i, g.i + g.n)) u2(j)
+          WHERE c.cnt > 1 AND g.n >= 5),
+        covf AS (
+          SELECT cov.doc_id, cov.n, CAST(sum(length(t.tk[cov.j])) AS BIGINT) AS chars
+          FROM cov JOIN tkl t ON cov.doc_id = t.doc_id
+          GROUP BY 1, 2),
+        fr AS (SELECT * FROM topf UNION ALL SELECT * FROM covf),
+        base AS (SELECT doc_id, length(array_to_string(tk, '')) AS total FROM tkl),
+        wide AS (
+          SELECT b.doc_id,
+            COALESCE(max(CASE WHEN f.n = 2 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS top_2gram_frac,
+            COALESCE(max(CASE WHEN f.n = 3 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS top_3gram_frac,
+            COALESCE(max(CASE WHEN f.n = 4 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS top_4gram_frac,
+            COALESCE(max(CASE WHEN f.n = 5 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS dup_5gram_frac,
+            COALESCE(max(CASE WHEN f.n = 6 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS dup_6gram_frac,
+            COALESCE(max(CASE WHEN f.n = 7 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS dup_7gram_frac,
+            COALESCE(max(CASE WHEN f.n = 8 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS dup_8gram_frac,
+            COALESCE(max(CASE WHEN f.n = 9 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS dup_9gram_frac,
+            COALESCE(max(CASE WHEN f.n = 10 THEN CAST(f.chars AS DOUBLE) / CAST(b.total AS DOUBLE) END), 0.0) AS dup_10gram_frac
+          FROM base b LEFT JOIN fr f ON b.doc_id = f.doc_id
+          GROUP BY b.doc_id, b.total)
+        SELECT *,
+          top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18 AND top_4gram_frac <= 0.16
+          AND dup_5gram_frac <= 0.15 AND dup_6gram_frac <= 0.14 AND dup_7gram_frac <= 0.13
+          AND dup_8gram_frac <= 0.12 AND dup_9gram_frac <= 0.11 AND dup_10gram_frac <= 0.10 AS keep
+        FROM wide""")),
+
     // Log-free TF-IDF top-3 terms per doc: (tf/dl)*(N/df) with explicit
     // parenthesization on both sides — every score is the same IEEE
     // expression in both engines, so the per-doc ranking hash-matches.

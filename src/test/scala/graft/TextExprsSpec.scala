@@ -145,3 +145,74 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 }
+
+class RepetitionStatsSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  // plain-Scala replay of the documented semantics — ground truth
+  private def repRef(toks: Seq[String]): Seq[Double] = {
+    val total = toks.map(_.length).sum
+    (2 to 10).map { n =>
+      if (toks.size < n || total == 0) 0.0
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+        val counts = grams.groupBy(identity).map { case (g, o) => (g, o.size) }
+        if (n <= 4) {
+          val (g, c) = counts.toSeq.sortBy { case (g, c) => (-c, g) }.head
+          (c.toLong * (g.length - (n - 1))).toDouble / total.toDouble
+        } else {
+          val covered = Array.fill(toks.size)(false)
+          grams.zipWithIndex.foreach { case (g, i) =>
+            if (counts(g) > 1) (i until i + n).foreach(covered(_) = true)
+          }
+          covered.zipWithIndex.collect { case (true, i) => toks(i).length.toLong }
+            .sum.toDouble / total.toDouble
+        }
+      }
+    }
+  }
+
+  test("repetitionSignals: hand-computed fractions and keep verdict") {
+    val docs = Seq((1L, "a b a b c"), (2L, "x y z x y z x y")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // total=5; top2: "a b"x2 * 2ch = 0.8; top3 tie -> "a b a" 3ch = 0.6;
+    // top4 tie -> "a b a b" 4ch = 0.8; n>=5: no duplicated gram / too short
+    assert(r1.getDouble(1) === 0.8 && r1.getDouble(2) === 0.6 && r1.getDouble(3) === 0.8)
+    (4 to 9).foreach(i => assert(r1.getDouble(i) === 0.0))
+    assert(!r1.getBoolean(10))
+    val r2 = got(2L)
+    // total=8; top2 "x y"x3 = 0.75; top3 tie "x y z"x2 = 0.75; top4 tie
+    // "x y z x"x2 = 1.0; dup5 "x y z x y" at 0 and 3 covers all 8 = 1.0
+    assert(r2.getDouble(1) === 0.75 && r2.getDouble(2) === 0.75 && r2.getDouble(3) === 1.0)
+    assert(r2.getDouble(4) === 1.0)
+    (5 to 9).foreach(i => assert(r2.getDouble(i) === 0.0))
+    assert(!r2.getBoolean(10))
+  }
+
+  test("repetitionSignals matches the plain-Scala replay on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "bb", "ccc", "d", "ee")
+    val rows = (0L until 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = graft.operators.Curation.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1 to 9).map(r.getDouble)).toMap
+    rows.foreach { case (i, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val exp = repRef(if (text.trim.isEmpty) Seq.empty else toks)
+      assert(got(i) === exp, s"doc $i: '$text'")
+    }
+  }
+
+  test("repetition_stats is SQL-registered") {
+    graft.core.GraftExtensions.register(TestSpark.spark)
+    val r = TestSpark.spark.sql(
+      "SELECT repetition_stats(array('a','b','a','b')).top_2gram_frac AS f")
+      .collect().head.getDouble(0)
+    // "a b" x2 * 2 chars / 4 chars
+    assert(r === 1.0)
+  }
+}
