@@ -975,6 +975,66 @@ object Curation {
     stripSpans(docs, idCol, textCol,
       exactSubstrSpans(docs, idCol, textCol, minTokens, minCount))
 
+  /** CCNet-style cross-document paragraph deduplication (Wenzek et al.
+    * 2019, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" §3.1): split each document into paragraphs, hash each
+    * paragraph, and keep only the globally FIRST occurrence of every
+    * distinct paragraph — ordering by (doc id, paragraph index), the
+    * deterministic stand-in for CCNet's shard order. Web boilerplate
+    * (shared footers, cookie banners, navigation) collapses to one copy;
+    * later documents keep their unique content with duplicated paragraphs
+    * removed. Differs from [[boilerplateStrip]] (which drops EVERY
+    * occurrence of a frequent span, first included) and from token-grain
+    * [[exactSubstrStrip]]: the unit here is the whole delimiter-bounded
+    * paragraph, and one canonical copy survives.
+    *
+    * Shape at scale: paragraphs shuffle once into an md5-grain
+    * first-occurrence AGGREGATE (map-side combine; never a window
+    * partitioned by hash — a mega-duplicated footer would funnel one
+    * partition), joined back at paragraph grain; reassembly is a bounded
+    * per-doc sort over the doc's own paragraphs.
+    *
+    * @param sepRegex paragraph delimiter regex (default: newline runs)
+    * @return (idCol, clean_text — kept paragraphs joined by a single
+    *         newline, n_paras_kept, n_paras_dropped)
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\\n+"): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        posexplode(
+          filter(transform(split(col(textCol), sepRegex), p => trim(p)),
+            p => length(p) > 0)).as(Seq("para_idx", "__para")))
+      .withColumn("__h", md5(col("__para")))
+    val first = paras
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("d"), col("para_idx").as("p"))).as("__first"))
+    val kept = paras
+      .join(first, Seq("__h"))
+      .filter(col("__first.d") === col(idCol) && col("__first.p") === col("para_idx"))
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("para_idx").as("p"), col("__para").as("t")))),
+            x => x.getField("t")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_paras_kept"))
+    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("__n_paras"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+        (coalesce(col("__n_paras"), lit(0L)) -
+          coalesce(col("n_paras_kept"), lit(0L))).as("n_paras_dropped"))
+  }
+
   /** [[stripSpans]] over boilerplate extents: tokens covered by a
     * `spanTokens`-token span occurring in >= `minDocs` DISTINCT documents
     * are dropped — the rewrite [[boilerplateRatio]] only measures.

@@ -1208,6 +1208,61 @@ object CorpusQueries {
         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
         GROUP BY t.doc_id, len(t.tk)""")),
 
+    // CCNet-style paragraph dedup (Wenzek et al. 2019 §3.1): keep the
+    // globally FIRST occurrence of every distinct paragraph. The corpus
+    // has no newline structure, so the query derives deterministic
+    // multi-paragraph docs first (10-token chunks + a per-language shared
+    // footer paragraph — the footer then genuinely dedups: one survivor
+    // per language, ~499 drops at sf0.01). Hash-grain first-occurrence is
+    // an aggregate + join, never a window over the hash.
+    Q("q_paragraph_dedup",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val chunks = transform(
+          sequence(lit(0), ((size(toks) - lit(1)) / 10).cast("int")),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+        val ptext = concat(
+          array_join(chunks, "\n"), lit("\n"),
+          concat(lit("shared footer "), col("lang")))
+        Curation.paragraphDedup(
+          t(s, dir, "documents").select(col("doc_id"), ptext.as("ptext")),
+          "doc_id", "ptext")
+      },
+      Some("""
+        WITH tkl AS (
+          SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        pt AS (
+          SELECT doc_id,
+                 array_to_string([array_to_string(tk[i*10+1:i*10+10], ' ')
+                                  FOR i IN range(0, greatest(len(tk) - 1, 0) // 10 + 1)], chr(10))
+                 || chr(10) || 'shared footer ' || lang AS ptext
+          FROM tkl),
+        paras AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, p[i] AS para
+          FROM (SELECT doc_id,
+                       list_filter(list_transform(string_split_regex(ptext, '\n+'), x -> trim(x)), x -> x <> '') AS p
+                FROM pt),
+               UNNEST(range(1, len(p) + 1)) u(i)),
+        ranked AS (
+          SELECT doc_id, para_idx, para,
+                 row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+          FROM paras),
+        kept AS (SELECT doc_id, para_idx, para FROM ranked WHERE rn = 1),
+        tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+        re AS (
+          SELECT doc_id,
+                 string_agg(para, chr(10) ORDER BY para_idx) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY 1)
+        SELECT p.doc_id,
+               coalesce(re.clean_text, '') AS clean_text,
+               CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_paras_kept,
+               CAST(coalesce(t.n_paras, 0) - coalesce(re.n_kept, 0) AS BIGINT) AS n_paras_dropped
+        FROM pt p
+        LEFT JOIN tot t ON t.doc_id = p.doc_id
+        LEFT JOIN re ON re.doc_id = p.doc_id""")),
+
     // Product-quantization encoding: per-subspace k-means codebooks +
     // map-only code assignment (see Similarity.pqTrain/pqAssign). Like
     // q_ivf_trained, the trained means are order-dependent doubles → no

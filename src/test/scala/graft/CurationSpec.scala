@@ -464,4 +464,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L).getDouble(2) === (1.0 + 0.5) / 2.0)
     assert(got(3L).getLong(1) === 0L && got(3L).isNullAt(2))
   }
+
+  test("paragraphDedup: first occurrence survives, later copies drop") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared footer\nunique one"),
+      (2L, "shared footer\ngamma delta"),
+      (3L, "alpha beta\nshared footer")
+    ).toDF("doc_id", "text")
+    val got = Curation.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is first for "alpha beta" and "shared footer": keeps all 3
+    assert(got(1L) === (("alpha beta\nshared footer\nunique one", 3L, 0L)))
+    // doc 2: footer already seen at (1,1) -> dropped; keeps "gamma delta"
+    assert(got(2L) === (("gamma delta", 1L, 1L)))
+    // doc 3: both paragraphs seen -> empty
+    assert(got(3L) === (("", 0L, 2L)))
+  }
+
+  test("paragraphDedup: blank paragraphs ignored, delimiter runs collapse") {
+    val docs = Seq((7L, "  \n\n a b \n\n\n a b \n  ")).toDF("doc_id", "text")
+    val got = Curation.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    // two "a b" paragraphs -> within-doc dedup also applies (first kept)
+    assert(got === (("a b", 1L, 1L)))
+  }
 }
