@@ -975,6 +975,81 @@ object Curation {
     stripSpans(docs, idCol, textCol,
       exactSubstrSpans(docs, idCol, textCol, minTokens, minCount))
 
+  /** DSIR-style data selection via hashed-n-gram importance weights (Xie
+    * et al. 2302.03169, "Data Selection for Language Models via Importance
+    * Resampling"): fit bag-of-hashed-bigram models on a TARGET domain
+    * sample and on the RAW corpus, score every raw document by how much
+    * more target-like than raw-like its features are, and keep the top-k.
+    *
+    * Deliberate deviations, both documented for the oracle's sake (the
+    * same rationale as the log-free TF-IDF):
+    * - the paper's importance weight is a log-likelihood ratio SUM
+    *   (a geometric mean); libm `log` is not bit-portable across engines,
+    *   so the score here is the ARITHMETIC mean of the per-occurrence
+    *   smoothed likelihood ratios ((ct+1)/(Tt+B)) / ((cr+1)/(Tr+B)) —
+    *   same add-one smoothing, same target-vs-raw contrast, same features;
+    *   every term is one division of two exact BIGINT products and the
+    *   per-doc sum is the order-deterministic [[graft.functions.VectorExprs
+    *   .orderedSum]] fold, so the doubles replay bit-for-bit.
+    * - the paper samples Gumbel-top-k; this takes the deterministic
+    *   zero-temperature limit (rank by score, ties by id) — reproducible
+    *   and hash-verifiable.
+    *
+    * Integer-exactness contract: per-term numerator tf*(ct+1)*(Tr+B) must
+    * stay below 2^53 — holds to ~petascale corpora (tf and ct are n-gram
+    * counts; revisit only if single documents repeat one bucket millions
+    * of times).
+    *
+    * Documents with fewer than 2 tokens have no bigram features and are
+    * not selectable (the paper's featurization has the same property).
+    *
+    * Shape at scale: bigrams shuffle once into (doc, bucket) counts with
+    * map-side combine; both models are <= `dims`-row aggregates BROADCAST
+    * onto the corpus-grain frame; totals are in-plan 1-row broadcasts
+    * (never collected); top-k is TakeOrderedAndProject.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 1024,
+      k: Int = 100): DataFrame = {
+    require(dims > 0 && k > 0, s"need positive dims/k: dims=$dims k=$k")
+    def bucketed(df: DataFrame, withId: Boolean): DataFrame = {
+      val cols = if (withId) Seq(col(idCol)) else Seq.empty
+      df.select(cols :+ explode(
+          TextFns.shingleList(TextFns.tokens(col(textCol)), 2)).as("__g"): _*)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"),
+            lit(dims.toLong)))
+    }
+    val tf = bucketed(raw, withId = true)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+    val cr = tf.groupBy(col("bucket")).agg(sum(col("tf")).as("cr"))
+    val ct = bucketed(target, withId = false)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val ttb = ct.agg((coalesce(sum(col("ct")), lit(0L)) + dims.toLong).as("__ttb"))
+    val trb = cr.agg((coalesce(sum(col("cr")), lit(0L)) + dims.toLong).as("__trb"))
+    val terms = tf
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"))
+      .crossJoin(broadcast(ttb))
+      .crossJoin(broadcast(trb))
+      .select(col(idCol), col("tf"),
+        ((col("tf") * (coalesce(col("ct"), lit(0L)) + 1L) * col("__trb")).cast("double") /
+          ((col("cr") + 1L) * col("__ttb")).cast("double")).as("__term"))
+    terms
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_feats"),
+        graft.functions.VectorExprs.orderedSum(collect_list(col("__term"))).as("__ssum"))
+      .select(col(idCol), col("n_feats"),
+        (col("__ssum") / col("n_feats").cast("double")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** CCNet-style cross-document paragraph deduplication (Wenzek et al.
     * 2019, "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data" §3.1): split each document into paragraphs, hash each

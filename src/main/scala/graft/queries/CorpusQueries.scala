@@ -1263,6 +1263,47 @@ object CorpusQueries {
         LEFT JOIN tot t ON t.doc_id = p.doc_id
         LEFT JOIN re ON re.doc_id = p.doc_id""")),
 
+    // DSIR-style importance selection (Xie et al. 2302.03169): hashed
+    // bigram models of target (lang='en') vs raw, arithmetic-mean smoothed
+    // likelihood-ratio score (the log-free, hash-verifiable form — see
+    // Curation.dsirSelect), deterministic top-100. Ordered-sum fold makes
+    // the double replay bit-exact.
+    Q("q_dsir_select",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.dsirSelect(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          dims = 1024, k = 100)
+      },
+      Some("""
+        WITH tkl AS (
+          SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        bk AS (
+          SELECT doc_id, lang,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(array_to_string(tk[CAST(u.i AS INT):CAST(u.i AS INT)+1], ' ')), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 1024 AS bucket
+          FROM tkl, UNNEST(range(1, len(tk))) u(i)
+          WHERE len(tk) >= 2),
+        tf AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf FROM bk GROUP BY 1, 2),
+        ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM bk WHERE lang = 'en' GROUP BY 1),
+        cr AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr FROM tf GROUP BY 1),
+        tt AS (SELECT CAST(coalesce(sum(ct), 0) + 1024 AS BIGINT) AS ttb FROM ct),
+        tr AS (SELECT CAST(coalesce(sum(cr), 0) + 1024 AS BIGINT) AS trb FROM cr),
+        terms AS (
+          SELECT tf.doc_id, tf.tf,
+                 CAST(tf.tf * (coalesce(ct.ct, 0) + 1) * tr.trb AS DOUBLE) /
+                 CAST((cr.cr + 1) * tt.ttb AS DOUBLE) AS term
+          FROM tf LEFT JOIN ct USING (bucket) JOIN cr USING (bucket)
+          CROSS JOIN tt CROSS JOIN tr),
+        sc AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+                 list_reduce(list_sort(list(term)), (a, x) -> a + x) AS ssum
+          FROM terms GROUP BY 1)
+        SELECT doc_id, n_feats, ssum / CAST(n_feats AS DOUBLE) AS dsir_score
+        FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100""")),
+
     // Product-quantization encoding: per-subspace k-means codebooks +
     // map-only code assignment (see Similarity.pqTrain/pqAssign). Like
     // q_ivf_trained, the trained means are order-dependent doubles → no

@@ -465,6 +465,49 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L).getLong(1) === 0L && got(3L).isNullAt(2))
   }
 
+  test("dsirSelect matches a plain-Scala replay (buckets, smoothing, ordered fold)") {
+    val rows = Seq(
+      (1L, "en", "spark query fast spark query"),
+      (2L, "en", "table scan fast fast table"),
+      (3L, "de", "langsam tabelle spark query"),
+      (4L, "de", "tabelle zeile spalte wert"),
+      (5L, "en", "spark query fast table scan"),
+      (6L, "de", "x")) // 1 token -> no bigrams -> not selectable
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val dims = 16
+    val got = Curation.dsirSelect(
+      docs, docs.filter($"lang" === "en"), "doc_id", "text", dims = dims, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    def bigrams(text: String): Seq[String] =
+      text.trim.split("\\s+").filter(_.nonEmpty).toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % dims
+    }
+    val rawB = rows.filter(_._3.trim.split("\\s+").count(_.nonEmpty) >= 2)
+      .map { case (id, _, tx) => id -> bigrams(tx).map(bucket) }
+    val ct = rows.filter(_._2 == "en").flatMap(r => bigrams(r._3).map(bucket))
+      .groupBy(identity).map { case (b, o) => (b, o.size.toLong) }
+    val cr = rawB.flatMap(_._2).groupBy(identity).map { case (b, o) => (b, o.size.toLong) }
+    val ttb = ct.values.sum + dims
+    val trb = cr.values.sum + dims
+    val exp = rawB.map { case (id, bs) =>
+      val tfs = bs.groupBy(identity).map { case (b, o) => (b, o.size.toLong) }
+      val terms = tfs.map { case (b, tf) =>
+        (tf * (ct.getOrElse(b, 0L) + 1L) * trb).toDouble /
+          ((cr(b) + 1L) * ttb).toDouble
+      }.toArray
+      java.util.Arrays.sort(terms)
+      val ssum = terms.foldLeft(0.0)(_ + _)
+      (id, bs.size.toLong, ssum / bs.size.toDouble)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(4)
+    assert(got.toSeq === exp)
+    assert(!got.exists(_._1 == 6L))
+  }
+
   test("paragraphDedup: first occurrence survives, later copies drop") {
     val docs = Seq(
       (1L, "alpha beta\nshared footer\nunique one"),
