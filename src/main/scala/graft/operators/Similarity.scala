@@ -150,6 +150,59 @@ object Similarity {
       .select(col("cluster_id"), col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2303.09540, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster embeddings,
+    * find within-cluster semantic-duplicate GROUPS (connected components
+    * of the cosine >= `threshold` graph — [[ivfNearDupPairs]] is the
+    * candidate generator, so all-pairs never materializes), and keep ONE
+    * representative per group. Representative rule: the member with the
+    * LOWEST cosine to its cluster centroid (the paper's low-centroid-
+    * similarity choice — keeps the least prototypical exemplar, dropping
+    * redundancy near the cluster core), ties broken by id. Singletons are
+    * their own group and always kept.
+    *
+    * Shape at scale: clustering + pair generation inherit the IVF
+    * discipline (broadcast argmin, cluster-blocked verify, k grows with n
+    * so cluster_size stays bounded); group labels come from the convergent
+    * pointer-jumping [[ConnectedComponents.minLabel]]; representative
+    * selection is one aggregate + join at group grain. Every number is the
+    * deterministic in-index-order fold, so an independent SQL engine
+    * replays the verdict bit-for-bit.
+    *
+    * @return (idCol, cluster_id, group_id, centroid_cos, is_kept)
+    */
+  def semDeDup(
+      embeddings: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidIdCol: String,
+      threshold: Double,
+      maxRounds: Int = 50): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(idCol), toDouble(col(vecCol)).as("__v"), col("cluster_id"))
+    val cvecs = centroids.select(
+      col(centroidIdCol).as("cluster_id"), toDouble(col(vecCol)).as("__cv"))
+    val pairs = ivfNearDupPairs(
+      embeddings, centroids, idCol, vecCol, centroidIdCol, threshold)
+    val groups = graft.operators.ConnectedComponents
+      .minLabel(pairs, "a_id", "b_id", maxRounds)
+    val labeled = assigned
+      .join(broadcast(cvecs), Seq("cluster_id"))
+      .withColumn("centroid_cos",
+        dot(col("__v"), col("__cv")) /
+          nullif(norm(col("__v")) * norm(col("__cv")), lit(0.0)))
+      .join(groups.select(col("v").as(idCol), col("label")), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("label"), col(idCol)))
+    val rep = labeled
+      .groupBy(col("group_id"))
+      .agg(min(struct(col("centroid_cos").as("c"), col(idCol).as("i"))).as("__rep"))
+    labeled
+      .join(rep, Seq("group_id"))
+      .select(col(idCol), col("cluster_id"), col("group_id"),
+        col("centroid_cos"), (col("__rep.i") === col(idCol)).as("is_kept"))
+  }
+
   /** Per-dimension int8 scalar quantization — the 4x storage/bandwidth
     * reduction step before an embedding table ships to an ANN index.
     * Emits (id, dim, q) rows: q = round((x - min_d) / (max_d - min_d) * 255)

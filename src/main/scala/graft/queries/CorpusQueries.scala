@@ -308,6 +308,64 @@ object CorpusQueries {
         FROM v, q
         ORDER BY cosine DESC, vec_id LIMIT 20""")),
 
+    // SemDeDup (Abbas et al. 2303.09540): within-IVF-cluster cosine>=0.4
+    // duplicate groups via connected components; keep the member LEAST
+    // similar to its cluster centroid (the paper's rule), ties by id.
+    // Oracle replays assignment, pair graph, recursive-CTE closure, and
+    // the representative choice bit-for-bit.
+    Q("q_semdedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.semDeDup(
+          e, e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "centroid_id"),
+          "vec_id", "embedding", "centroid_id", threshold = 0.4)
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+        d AS (
+          SELECT v.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_reduce(list_transform(range(1, 65), i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
+          FROM v CROSS JOIN c),
+        asg AS (SELECT vec_id, cid FROM d WHERE rn = 1),
+        p AS (
+          SELECT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM asg x
+          JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          JOIN v va ON va.vec_id = x.vec_id
+          JOIN v vb ON vb.vec_id = y.vec_id
+          WHERE list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (x2, y2) -> x2 + y2)
+                  / nullif(sqrt(list_reduce(list_transform(va.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
+                           * sqrt(list_reduce(list_transform(vb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) >= 0.4),
+        und AS (SELECT a_id AS x, b_id AS y FROM p UNION ALL SELECT b_id, a_id FROM p),
+        comp AS (
+          SELECT grp.v, min(grp.r) AS label FROM (
+            WITH RECURSIVE reach(v, r) AS (
+              SELECT x, x FROM und
+              UNION
+              SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
+            ) SELECT v, r FROM reach) grp GROUP BY grp.v),
+        lab AS (
+          SELECT a.vec_id, a.cid AS cluster_id,
+                 coalesce(comp.label, a.vec_id) AS group_id,
+                 list_reduce(list_transform(range(1, 65), i -> vv.vec[i] * c.cvec[i]), (x2, y2) -> x2 + y2)
+                   / nullif(sqrt(list_reduce(list_transform(vv.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
+                            * sqrt(list_reduce(list_transform(c.cvec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) AS centroid_cos
+          FROM asg a
+          JOIN v vv ON vv.vec_id = a.vec_id
+          JOIN c ON c.cid = a.cid
+          LEFT JOIN comp ON comp.v = a.vec_id),
+        rep AS (
+          SELECT group_id, vec_id AS rep_id,
+                 row_number() OVER (PARTITION BY group_id ORDER BY centroid_cos, vec_id) AS rn
+          FROM lab)
+        SELECT l.vec_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+               CAST(l.group_id AS BIGINT) AS group_id, l.centroid_cos,
+               l.vec_id = r.rep_id AS is_kept
+        FROM lab l
+        JOIN (SELECT group_id, rep_id FROM rep WHERE rn = 1) r ON r.group_id = l.group_id""")),
+
     // Embedding-cosine near-dup pairs, IVF-cluster-blocked: assign every
     // vector to its nearest centroid (broadcast argmin, map-only), verify
     // exact cosine only within clusters. All-pairs never materializes —

@@ -93,3 +93,32 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(got.head._1 === query.select($"vec_id").as[Long].head())
   }
 }
+
+/** SemDeDup contracts: group formation, representative rule, singletons. */
+class SemDeDupSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  test("semDeDup: least-centroid-similar member survives, singletons kept") {
+    val centroids = Seq(
+      (100L, Seq(1f, 0f)), (200L, Seq(0f, 1f))
+    ).toDF("centroid_id", "embedding")
+    val emb = Seq(
+      (10L, Seq(2f, 0f)),     // c100, centroid_cos 1.0
+      (11L, Seq(1f, 0.1f)),   // c100, centroid_cos ~0.995
+      (12L, Seq(0.9f, 0.15f)),// c100, centroid_cos ~0.986 -> representative
+      (20L, Seq(0f, 3f))      // c200, singleton
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(
+      emb, centroids, "vec_id", "embedding", "centroid_id", threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(10L, 11L, 12L, 20L))
+    // all of cluster 100 pairwise cosine > 0.9 -> one group labeled 10
+    assert(got(10L)._1 === 100L && got(10L)._2 === 10L && !got(10L)._4)
+    assert(got(11L)._2 === 10L && !got(11L)._4)
+    assert(got(12L)._2 === 10L && got(12L)._4) // least prototypical survives
+    assert(got(12L)._3 < got(11L)._3 && got(11L)._3 < got(10L)._3)
+    // singleton: own group, kept
+    assert(got(20L) === ((200L, 20L, 1.0, true)))
+  }
+}
