@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{IntersectCardSorted, NfcNormalize, OrderedSumDoubles, RepetitionStats, ShingleList, WordShingles}
+import graft.functions.{HashedTermFreqs, IntersectCardSorted, NfcNormalize, OrderedSumDoubles, RepetitionStats, ShingleList, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT intersect_card_sorted(a, b)")`
@@ -40,7 +40,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => OrderedSumDoubles(children(0))),
     (FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (children: Seq[Expression]) => RepetitionStats(children(0))))
+      (children: Seq[Expression]) => RepetitionStats(children(0))),
+    (FunctionIdentifier("hashed_term_freqs"),
+      new ExpressionInfo(classOf[HashedTermFreqs].getName, "hashed_term_freqs"),
+      (children: Seq[Expression]) => HashedTermFreqs(children(0),
+        foldableInt(children(1), "hashed_term_freqs(arr, dims)"))))
 
   private def foldableInt(e: Expression, site: String): Int = e.eval(null) match {
     case i: Int => i

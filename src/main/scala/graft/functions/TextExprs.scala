@@ -335,3 +335,74 @@ object RepetitionStats {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 }
+
+/** Fused feature-hashing term-frequency map (the hashing trick,
+  * Weinberger et al. ICML'09): token -> md5-derived bucket (the value of
+  * the first 8 md5 hex digits, mod `dims` — byte-identical to
+  * `conv(substring(md5(tok), 1, 8), 16, 10) % dims`), counted per
+  * document in ONE compiled pass. Output is an array of (bucket, tf)
+  * structs in first-occurrence order.
+  *
+  * This replaces the relational form (explode every token, md5 at row
+  * grain, groupBy (doc, bucket)) with per-row expression work: the corpus
+  * never explodes to token-grain rows and the (doc, bucket) SHUFFLE
+  * disappears entirely — the consumer explodes the already-aggregated
+  * per-doc map, whose cardinality is min(doc tokens, dims), not tokens.
+  */
+case class HashedTermFreqs(child: Expression, dims: Int) extends UnaryExpression {
+
+  override def dataType: DataType = HashedTermFreqs.schema
+
+  override protected def nullSafeEval(in: Any): Any =
+    HashedTermFreqs.compute(in.asInstanceOf[ArrayData], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedTermFreqs.compute($c, $dims);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedTermFreqs {
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(arr: ArrayData, dims: Int): ArrayData = {
+    val m = arr.numElements()
+    val md = md5.get()
+    val counts = new java.util.LinkedHashMap[java.lang.Long, java.lang.Long](16)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 8 hex digits = first 4 digest bytes as an unsigned 32-bit
+      // big-endian integer — exactly conv(substring(md5(tok),1,8),16,10)
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val b = java.lang.Long.valueOf(v % dims)
+      val prev = counts.get(b)
+      counts.put(b, java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue + 1L))
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue.longValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -74,6 +74,14 @@ object TextFns {
         WinnowFingerprints(org.apache.spark.sql.graft.Bridge.expression(tokensCol), k, w)),
       typedLit(Seq.empty[String]))
 
+  /** Per-doc hashed term-frequency map (codegen `HashedTermFreqs`):
+    * array of (bucket, tf) structs, buckets byte-identical to
+    * `conv(substring(md5(tok),1,8),16,10) % dims`.
+    */
+  def hashedTermFreqs(tokensCol: Column, dims: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      HashedTermFreqs(org.apache.spark.sql.graft.Bridge.expression(tokensCol), dims))
+
   /** The fused Gopher repetition suite over a token array (codegen
     * `RepetitionStats`): one struct of the nine n-gram repetition
     * fractions (top 2..4-gram character mass, duplicated 5..10-gram

@@ -216,3 +216,43 @@ class RepetitionStatsSpec extends AnyFunSuite {
     assert(r === 1.0)
   }
 }
+
+class HashedTermFreqsSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  // the relational form the fused expression replaced — ground truth
+  private def relational(docs: org.apache.spark.sql.DataFrame, dims: Int) = {
+    val toks = TextFns.tokens($"text")
+    docs
+      .select($"doc_id", size(toks).cast("long").as("n"), explode(toks).as("tk"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"tk"), 1, 8), 16, 10).cast("long"), lit(dims.toLong)))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("tf"), max($"n").as("n"))
+      .select($"doc_id", $"bucket", $"tf",
+        ($"tf".cast("double") / $"n".cast("double")).as("weight"))
+  }
+
+  test("featureHashTf (fused) row-identical to the relational form on random docs") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("spark", "query", "fast", "table", "röw", "值", "x")
+    val rows = (0L until 150L).map { i =>
+      (i, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    for (dims <- Seq(8, 256)) {
+      val fused = graft.operators.Curation.featureHashTf(docs, "doc_id", "text", dims)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val rel = relational(docs, dims)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(fused === rel, s"dims=$dims")
+    }
+  }
+
+  test("hashed_term_freqs is SQL-registered and empty arrays yield empty maps") {
+    graft.core.GraftExtensions.register(TestSpark.spark)
+    val n = TestSpark.spark.sql(
+      "SELECT size(hashed_term_freqs(array(), 64)) AS s").collect().head.getInt(0)
+    assert(n === 0)
+  }
+}
