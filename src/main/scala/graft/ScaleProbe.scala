@@ -86,6 +86,35 @@ object ScaleProbe {
     // bigram LM: two bigram-grain aggregates + bounded per-doc fold
     stage("lm_score_rows")(Curation.lmScore(docs, "doc_id", "text"))
 
+    // Gopher repetition suite: one fused per-row pass, rows == corpus
+    stage("repetition_rows")(Curation.repetitionSignals(docs, "doc_id", "text"))
+
+    // ExactSubstr variable-length spans on the 10x-copy corpus — the
+    // worst case: every document's ENTIRE text is a 10-fold repeat, so
+    // maximal extents cover the whole corpus; span rows must stay at doc
+    // grain (merged extents), never token- or pair-grain
+    stage("exact_substr_spans")(
+      Curation.exactSubstrSpans(docs, "doc_id", "text", minTokens = 5, minCount = 2))
+
+    // CCNet paragraph dedup: 10 copies of every paragraph + a corpus-wide
+    // footer -> first-occurrence survivors only; hash-grain aggregate must
+    // carry (para, count) partials, never fan out
+    val ptoks = TextFns.tokens(col("text"))
+    val pchunks = transform(
+      sequence(lit(0), ((size(ptoks) - lit(1)) / 10).cast("int")),
+      i => array_join(slice(ptoks, i * 10 + 1, lit(10)), " "))
+    val pdocs = docs.select(col("doc_id"),
+      concat(array_join(pchunks, "\n"), lit("\n"),
+        concat(lit("shared footer "), col("lang"))).as("ptext"))
+    stage("paragraph_dedup_rows")(
+      Curation.paragraphDedup(pdocs, "doc_id", "ptext"))
+
+    // DSIR selection: bigram models are <=dims-row broadcasts regardless
+    // of corpus size; the probe point is the corpus-grain pass stays flat
+    stage("dsir_selected")(Curation.dsirSelect(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      dims = 1024, k = 100))
+
     // temperature resampling: strata counts grow factor-x but the rate
     // RATIOS (cnt_min/cnt) are replication-invariant, so the kept fraction
     // should match the sf0.1 run exactly — map-only over the 10x corpus
@@ -131,6 +160,15 @@ object ScaleProbe {
       .agg(max(col("count"))).head.getLong(0)
     stage("ivf_near_dup_pairs")(Similarity.ivfNearDupPairs(
       emb, centroids, "vec_id", "embedding", "centroid_id", threshold = 0.9))
+
+    // SemDeDup on the 10x-copy embeddings: every vector has 9 exact twins,
+    // so duplicate groups have >= factor members and ~(factor-1)/factor of
+    // the corpus must be dropped — group formation stays cluster-blocked
+    val sem = Similarity.semDeDup(
+      emb, centroids, "vec_id", "embedding", "centroid_id",
+      threshold = 0.999).persist()
+    stage("semdedup_rows")(sem)
+    stage("semdedup_kept")(sem.filter(col("is_kept")))
 
     val load1 =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
