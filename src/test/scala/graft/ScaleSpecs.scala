@@ -63,14 +63,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"term-partitioned window in the tfidf path:\n$plan")
   }
 
-  test("featureHashTf: exactly one aggregation exchange, no windows or joins") {
+  test("featureHashTf: ZERO exchanges — fused per-doc map, no shuffle at all") {
     val docs = (0L until 50L).map(i => (i, s"tok a b tok$i")).toDF("doc_id", "text")
     val tf = graft.operators.Curation.featureHashTf(docs, "doc_id", "text", 64)
     val plan = tf.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges === 1, s"expected ONE (doc,bucket) shuffle, plan:\n$plan")
+    // round 5: the fused HashedTermFreqs expression aggregates per doc
+    // inside the row, so the (doc,bucket) exchange of the relational form
+    // is gone entirely — the vectorizer is map-only
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
     assert(!plan.contains("Window") && !plan.contains("Join"),
-      s"vectorizer should be explode+aggregate only:\n$plan")
+      s"vectorizer should be generate+project only:\n$plan")
   }
 
   test("duplicateSpans: one inverted-index aggregate, nothing pairwise") {
