@@ -194,9 +194,16 @@ object Similarity {
           nullif(norm(col("__v")) * norm(col("__cv")), lit(0.0)))
       .join(groups.select(col("v").as(idCol), col("label")), Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("label"), col(idCol)))
+    // coalesce before the min-struct: a zero-norm vector's cosine is null,
+    // and null-ordering differs across engines (Spark NULLS FIRST, most
+    // SQL engines NULLS LAST) — pinning undefined to -2.0 (below any real
+    // cosine) keeps the representative choice engine-portable and makes
+    // degenerate vectors win representative only deterministically
     val rep = labeled
       .groupBy(col("group_id"))
-      .agg(min(struct(col("centroid_cos").as("c"), col(idCol).as("i"))).as("__rep"))
+      .agg(min(struct(
+        coalesce(col("centroid_cos"), lit(-2.0)).as("c"),
+        col(idCol).as("i"))).as("__rep"))
     labeled
       .join(rep, Seq("group_id"))
       .select(col(idCol), col("cluster_id"), col("group_id"),

@@ -358,7 +358,8 @@ object CorpusQueries {
           LEFT JOIN comp ON comp.v = a.vec_id),
         rep AS (
           SELECT group_id, vec_id AS rep_id,
-                 row_number() OVER (PARTITION BY group_id ORDER BY centroid_cos, vec_id) AS rn
+                 row_number() OVER (PARTITION BY group_id
+                   ORDER BY coalesce(centroid_cos, -2.0), vec_id) AS rn
           FROM lab)
         SELECT l.vec_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
                CAST(l.group_id AS BIGINT) AS group_id, l.centroid_cos,

@@ -121,4 +121,20 @@ class SemDeDupSpec extends AnyFunSuite {
     // singleton: own group, kept
     assert(got(20L) === ((200L, 20L, 1.0, true)))
   }
+
+  test("semDeDup: zero-norm vector gets null cosine, pinned representative order") {
+    val centroids = Seq((100L, Seq(1f, 0f))).toDF("centroid_id", "embedding")
+    val emb = Seq(
+      (1L, Seq(0f, 0f)),  // zero vector: null cosine -> ordered as -2.0
+      (2L, Seq(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    // threshold > any defined pair cosine involving the zero vector
+    // (its pair cosine is null -> filtered), so both are singletons
+    val got = Similarity.semDeDup(
+      emb, centroids, "vec_id", "embedding", "centroid_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((1L, None, true)))   // own group, null cosine surfaces
+    assert(got(2L) === ((2L, Some(1.0), true)))
+  }
 }
