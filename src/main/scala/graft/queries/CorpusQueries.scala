@@ -1666,6 +1666,23 @@ object CorpusQueries {
                CAST(sum((doc_id * 13 + 5 * (3 * p + 2)) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_b
         FROM px GROUP BY doc_id, w, h""")),
 
+    // JPEG decode via the JDK's bundled javax.imageio codec (no external
+    // library): flat-gray baseline fixtures — the subset a lossy codec
+    // reproduces EXACTLY (DC-only blocks; all 256 grays + partial edge
+    // blocks spec-verified) — so even JPEG gets a hash-grade oracle.
+    Q("q_jpeg_decode",
+      (s, dir) => Multimodal.decodeImageIOFeatures(
+        Multimodal.jpegFixture(t(s, dir, "documents"), "doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(6 + doc_id % 7 AS INT) AS height,
+               3 AS channels,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_g,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_b
+        FROM documents""")),
+
     // Sequence packing (concat-and-chop batch prep): per-language shards,
     // 2048-token training windows; each doc gets its token-offset interval
     // and spanned bin range from ONE bounded cumulative-sum window per

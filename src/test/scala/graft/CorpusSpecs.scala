@@ -374,6 +374,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng("junk".getBytes).isEmpty)
   }
 
+  test("decodeImageIO: JPEG flat-gray round-trip is EXACT for all 256 grays incl. edge blocks") {
+    // the property the q_jpeg_decode oracle rests on: a flat-gray baseline
+    // JPEG (all-AC-zero blocks) decodes to exactly the encoded gray, at
+    // every gray level and with partial (non-multiple-of-8) edge blocks
+    for (g <- 0 until 256) {
+      val w = 8 + g % 9
+      val h = 6 + g % 7
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val Some((dw, dh, ch, means)) = Multimodal.decodeImageIO(bos.toByteArray)
+      assert((dw, dh, ch) === ((w, h, 3)), s"gray $g")
+      assert(means.toSeq === Seq(g.toDouble, g.toDouble, g.toDouble), s"gray $g")
+    }
+  }
+
+  test("decodeImageIO: rejects junk, decodes our own PNG fixture bytes too") {
+    assert(Multimodal.decodeImageIO("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageIO(Array.emptyByteArray).isEmpty)
+    // cross-check: the hand-rolled PNG encoder's output is a valid PNG for
+    // the JDK codec, and both decoders agree on the pixel means
+    import TestSpark.spark.implicits._
+    val fixture = Multimodal.pngFixture(Seq(5L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("content")
+    val Some((w1, h1, c1, m1)) = Multimodal.decodePng(fixture)
+    val Some((w2, h2, c2, m2)) = Multimodal.decodeImageIO(fixture)
+    assert((w1, h1, c1) === ((w2, h2, c2)))
+    assert(m1.toSeq === m2.toSeq)
+  }
+
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
     // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
     // Int.MaxValue — Int arithmetic would index negatively and throw instead
