@@ -179,6 +179,12 @@ object Similarity {
       centroidIdCol: String,
       threshold: Double,
       maxRounds: Int = 50): DataFrame = {
+    // the broadcast-argmin assignment is evaluated twice (once inside the
+    // pair generator — which ConnectedComponents checkpoints eagerly — and
+    // once for the labeled output frame): a deliberate recompute-over-cache
+    // choice, since the assignment is a stateless map-only pass and caching
+    // the vector-heavy frame would pin corpus-sized blocks in executor
+    // storage for the output's whole lifetime
     val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, centroidIdCol)
       .select(col(idCol), toDouble(col(vecCol)).as("__v"), col("cluster_id"))
     val cvecs = centroids.select(
