@@ -524,6 +524,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) === (("", 0L, 2L)))
   }
 
+  test("property: paragraphDedup equals a plain-Scala first-occurrence replay") {
+    val rnd = new scala.util.Random(41)
+    // small paragraph pool -> guaranteed cross-document duplicates
+    val pool = Vector("alpha beta", "gamma", "delta eps zeta", "eta", "theta iota")
+    val rows = (0L until 80L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(5))(pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }
+    val got = Curation.paragraphDedup(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val seen = scala.collection.mutable.Set.empty[String]
+    rows.foreach { case (id, text) =>
+      val paras = text.split("\n+").map(_.trim).filter(_.nonEmpty)
+      val kept = paras.filter(p => seen.add(p)) // global (doc, idx) order
+      assert(got(id) === ((kept.mkString("\n"), kept.length.toLong,
+        (paras.length - kept.length).toLong)), s"doc $id")
+    }
+  }
+
   test("paragraphDedup: blank paragraphs ignored, delimiter runs collapse") {
     val docs = Seq((7L, "  \n\n a b \n\n\n a b \n  ")).toDF("doc_id", "text")
     val got = Curation.paragraphDedup(docs, "doc_id", "text")
