@@ -612,8 +612,22 @@ object Multimodal {
     */
   private[graft] def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      // read the dimensions from the HEADER before decoding: a hostile
+      // decompression-bomb payload (tiny bytes, enormous declared raster)
+      // must be rejected before ImageIO allocates w*h pixels — the same
+      // absurd-dimension guard decodeBmp/decodeWav apply to their headers
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img = try {
+        reader.setInput(iis)
+        val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
+        if (dw <= 0 || dh <= 0 || dw.toLong * dh > 64L * 1024 * 1024) return None
+        reader.read(0)
+      } finally { reader.dispose(); iis.close() }
+      if (img == null) None
       else {
         val w = img.getWidth
         val h = img.getHeight

@@ -396,6 +396,28 @@ class MultimodalSpec extends AnyFunSuite {
   test("decodeImageIO: rejects junk, decodes our own PNG fixture bytes too") {
     assert(Multimodal.decodeImageIO("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeImageIO(Array.emptyByteArray).isEmpty)
+    // decompression bomb: header declares a 100k x 100k raster (10^10 px)
+    // in a few hundred bytes — must be rejected from the HEADER, before
+    // any pixel allocation
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write("IHDR".getBytes("US-ASCII"))
+      val dim = 100000
+      for (v <- Seq(dim, dim)) { ihdr.write(v >> 24); ihdr.write((v >> 16) & 0xff); ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff) }
+      ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      val body = ihdr.toByteArray
+      val len = body.length - 4
+      out.write(len >> 24); out.write((len >> 16) & 0xff); out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+      out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      out.toByteArray
+    }
+    assert(Multimodal.decodeImageIO(bomb).isEmpty)
     // cross-check: the hand-rolled PNG encoder's output is a valid PNG for
     // the JDK codec, and both decoders agree on the pixel means
     import TestSpark.spark.implicits._
