@@ -678,6 +678,35 @@ object Multimodal {
     }.toDF("doc_id", "content")
   }
 
+  /** Deterministic GIF fixture corpus: a per-id two-gray checkerboard-ish
+    * pattern (pixel p: gray 40 or 200 by parity of id*7 + 3p). GIF is
+    * LOSSLESS for <=256-color rasters, so unlike the JPEG fixture this one
+    * exercises a patterned (non-flat) image and still replays exactly.
+    * Heights stay >= 6: the JDK's GIF WRITER corrupts rows for rasters of
+    * height <= 4 (measured: every width 3..12 at h=3,4 round-trips wrong;
+    * h >= 5 is clean across 600 fixture ids) — an encoder quirk, not a
+    * decode limitation, but the fixture must avoid it to stay exact.
+    */
+  def gifFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (5 + id % 6).toInt
+      val h = (6 + id % 5).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < w * h) {
+        val g = if ((id * 7 + 3 * p) % 2 == 0) 40 else 200
+        img.setRGB(p % w, p / w, (g << 16) | (g << 8) | g)
+        p += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", bos)
+      (id, bos.toByteArray)
+    }.toDF("doc_id", "content")
+  }
+
   /** Batched per-partition ImageIO decode — same map-only shape as
     * `decodePnmFeatures`, with the JDK codec inside.
     */

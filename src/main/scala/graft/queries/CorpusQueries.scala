@@ -1683,6 +1683,25 @@ object CorpusQueries {
                CAST(doc_id % 256 AS DOUBLE) AS mean_b
         FROM documents""")),
 
+    // GIF decode through the same JDK codec path: GIF is LOSSLESS for
+    // <=256-color rasters, so the fixture is a per-id two-gray PATTERN
+    // (not flat) and still replays exactly — the complement of the JPEG
+    // fixture's flat-only constraint.
+    Q("q_gif_decode",
+      (s, dir) => Multimodal.decodeImageIOFeatures(
+        Multimodal.gifFixture(t(s, dir, "documents"), "doc_id")),
+      Some("""
+        WITH d AS (SELECT doc_id, 5 + doc_id % 6 AS w, 6 + doc_id % 5 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+        m AS (
+          SELECT doc_id, w, h,
+                 CAST(sum(CASE WHEN (doc_id * 7 + 3 * p) % 2 = 0 THEN 40 ELSE 200 END) AS DOUBLE)
+                   / CAST(w * h AS BIGINT) AS mean_gray
+          FROM px GROUP BY doc_id, w, h)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               3 AS channels, mean_gray AS mean_r, mean_gray AS mean_g, mean_gray AS mean_b
+        FROM m""")),
+
     // Sequence packing (concat-and-chop batch prep): per-language shards,
     // 2048-token training windows; each doc gets its token-offset interval
     // and spanned bin range from ONE bounded cumulative-sum window per

@@ -429,6 +429,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m1.toSeq === m2.toSeq)
   }
 
+  test("decodeImageIO: GIF pattern round-trip is lossless (exact per-pixel)") {
+    import TestSpark.spark.implicits._
+    val fixture = Multimodal.gifFixture(Seq(3L, 7L, 11L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
+    for ((id, bytes) <- fixture) {
+      val w = (5 + id % 6).toInt
+      val h = (6 + id % 5).toInt
+      val n = w * h
+      val ones = (0 until n).count(p => (id * 7 + 3 * p) % 2 != 0)
+      val expMean = (40.0 * (n - ones) + 200.0 * ones) / n
+      val Some((dw, dh, ch, means)) = Multimodal.decodeImageIO(bytes)
+      assert((dw, dh, ch) === ((w, h, 3)), s"id $id")
+      assert(means.toSeq === Seq(expMean, expMean, expMean), s"id $id")
+    }
+  }
+
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
     // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
     // Int.MaxValue — Int arithmetic would index negatively and throw instead
