@@ -896,6 +896,192 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a decoded-video feature row (see `decodeY4mFeatures`). */
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("mean_y", DoubleType, nullable = true),
+    StructField("first_mean_y", DoubleType, nullable = true),
+    StructField("last_mean_y", DoubleType, nullable = true)))
+
+  /** Schema of a decoded per-frame row (see `frameSampleY4m`). */
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("mean_y", DoubleType, nullable = false)))
+
+  /** A REAL video decoder for Y4M (YUV4MPEG2) — the one video container
+    * parseable with zero libraries (plain-text header + FRAME markers +
+    * raw planar YUV payloads; mjpegtools/ffmpeg's interchange format).
+    * Parses the stream header (W/H/C tags; F/I/A/X ignored), walks FRAME
+    * markers (optional per-frame parameters tolerated per spec), validates
+    * every frame's full payload length, and sums each frame's luma plane.
+    * Chroma planes are size-validated and skipped (luma carries the
+    * features). Supported colorspaces: C420* (any suffix — subsampling
+    * geometry is identical), C422, C444, Cmono; default 420 per spec.
+    *
+    * Hostile-input guards mirror decodeBmp/decodePng: dimension caps
+    * BEFORE any allocation (the raster is never materialized at all —
+    * sums stream over the payload), Long comparisons against declared
+    * sizes, None on any truncated/malformed structure.
+    *
+    * @return (width, height, per-frame luma SUMS) — integer sums, so
+    *         callers divide ONCE and the doubles replay bit-exactly
+    */
+  private[graft] def decodeY4m(bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    val magic = "YUV4MPEG2"
+    if (bytes.length < magic.length + 1) return None
+    var i = 0
+    while (i < magic.length) {
+      if (bytes(i) != magic.charAt(i).toByte) return None
+      i += 1
+    }
+    var eol = i
+    while (eol < bytes.length && bytes(eol) != 0x0a) eol += 1
+    if (eol >= bytes.length) return None
+    val header = new String(bytes, 0, eol, "US-ASCII")
+    var w = -1; var h = -1; var cs = "420jpeg" // spec default when C absent
+    val toks = header.split(' ')
+    var ti = 1
+    while (ti < toks.length) {
+      val tok = toks(ti)
+      if (tok.nonEmpty) tok.charAt(0) match {
+        // non-numeric W/H → -1 → rejected by the dimension guard below
+        case 'W' => w = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => cs = tok.drop(1)
+        case _ => // F (rate), I (interlace), A (aspect), X (extension)
+      }
+      ti += 1
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+      w.toLong * h > (1L << 26)) return None // 64 MiB luma cap, pre-walk
+    val ySize = w * h
+    val cSize =
+      if (cs.startsWith("420")) {
+        if (w % 2 != 0 || h % 2 != 0) return None
+        (w / 2) * (h / 2)
+      } else if (cs.startsWith("422")) {
+        if (w % 2 != 0) return None
+        (w / 2) * h
+      } else if (cs.startsWith("444")) ySize
+      else if (cs == "mono") 0
+      else return None
+    val frameBytes = ySize.toLong + 2L * cSize
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fm = "FRAME"
+    var pos = eol + 1
+    while (pos < bytes.length) {
+      if (pos + fm.length > bytes.length) return None
+      var j = 0
+      while (j < fm.length) {
+        if (bytes(pos + j) != fm.charAt(j).toByte) return None
+        j += 1
+      }
+      var fe = pos + fm.length
+      while (fe < bytes.length && bytes(fe) != 0x0a) fe += 1
+      if (fe >= bytes.length) return None
+      val dataOff = fe + 1
+      if (dataOff.toLong + frameBytes > bytes.length) return None // truncated
+      var sum = 0L
+      var p = 0
+      while (p < ySize) { sum += bytes(dataOff + p) & 0xff; p += 1 }
+      sums += sum
+      pos = dataOff + frameBytes.toInt
+    }
+    if (sums.isEmpty) return None
+    Some((w, h, sums.toArray))
+  }
+
+  /** Deterministic Y4M fixture: a real multi-frame 4:2:0 stream per id
+    * (width 4+2*(id%4), height 2+2*(id%3) — even, as 4:2:0 requires;
+    * 2+id%4 frames; luma byte p of frame f = (id*3 + 7f + 5p) % 256).
+    * Chroma planes are filled deterministically and exercised by the
+    * decoder's skip arithmetic — a frame-stride bug lands mid-plane and
+    * fails the FRAME-marker check rather than silently shifting sums.
+    */
+  def y4mFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (4 + 2 * (id % 4)).toInt
+      val h = (2 + 2 * (id % 3)).toInt
+      val nf = (2 + id % 4).toInt
+      val ySize = w * h
+      val cSize = (w / 2) * (h / 2)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+      var f = 0
+      while (f < nf) {
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        var p = 0
+        while (p < ySize) {
+          out.write(((id * 3 + 7 * f + 5 * p) % 256).toInt)
+          p += 1
+        }
+        var c = 0
+        while (c < 2 * cSize) {
+          out.write(((id + 11 * f + 13 * c) % 256).toInt)
+          c += 1
+        }
+        f += 1
+      }
+      (id, out.toByteArray)
+    }.toDF("doc_id", "content")
+  }
+
+  /** Batched per-partition Y4M decode — container-level features per
+    * stream. `first_mean_y`/`last_mean_y` are position-sensitive: a
+    * frame-walk bug (wrong stride, dropped FRAME) cannot hide behind the
+    * order-independent overall mean. Every mean is ONE division of an
+    * exact integer sum, so the doubles replay.
+    */
+  def decodeY4mFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoFeatureSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        decodeY4m(r.getAs[Array[Byte]]("content")) match {
+          case Some((w, h, sums)) =>
+            val ySize = w.toLong * h
+            var total = 0L
+            sums.foreach(total += _)
+            Row(r.getAs[Long]("doc_id"), w, h, sums.length,
+              total.toDouble / (ySize * sums.length),
+              sums.head.toDouble / ySize,
+              sums.last.toDouble / ySize)
+          case None =>
+            Row(r.getAs[Long]("doc_id"), null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling over Y4M payloads — every `stride`-th decoded
+    * frame emits (doc_id, frame_idx, mean luma). The generator shape of
+    * [[frameSample]] with an actual decoder inside: map-only flatMap, no
+    * shuffle, row multiplication happens at the sampled-frame grain. The
+    * container-probe [[frameSample]] stays for opaque binaries; this is
+    * the decode path for streams the engine can actually parse.
+    */
+  def frameSampleY4m(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"need positive stride: $stride")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameFeatureSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        decodeY4m(r.getAs[Array[Byte]]("content")) match {
+          case Some((w, h, sums)) =>
+            val ySize = w.toLong * h
+            Iterator.range(0, sums.length, stride)
+              .map(f => Row(id, f, sums(f).toDouble / ySize))
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** Batched per-partition feature extraction over (doc_id, media_type,
     * content) rows. The md5 checksum is computed Spark-side (codegen) before
     * the partition stage; byte-dependent features inside it.

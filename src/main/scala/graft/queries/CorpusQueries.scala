@@ -1702,6 +1702,48 @@ object CorpusQueries {
                3 AS channels, mean_gray AS mean_r, mean_gray AS mean_g, mean_gray AS mean_b
         FROM m""")),
 
+    // REAL video decode: Y4M (YUV4MPEG2) is the one video container
+    // parseable with zero libraries — plain-text header, FRAME markers,
+    // raw planar YUV. The fixture is a real multi-frame 4:2:0 stream; the
+    // decoder walks frames, validates chroma-plane strides, and sums luma.
+    // first/last frame means are position-sensitive, so a frame-walk bug
+    // cannot hide behind the order-independent overall mean. Every mean is
+    // one division of an exact integer sum (bit-replayable).
+    Q("q_video_decode",
+      (s, dir) => Multimodal.decodeY4mFeatures(
+        Multimodal.y4mFixture(t(s, dir, "documents"), "doc_id")),
+      Some("""
+        WITH d AS (SELECT doc_id, 4 + 2 * (doc_id % 4) AS w, 2 + 2 * (doc_id % 3) AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d),
+        fp AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w * h)) AS p FROM fr),
+        s AS (SELECT doc_id, w, h, nf, f,
+                     CAST(sum((doc_id * 3 + 7 * f + 5 * p) % 256) AS BIGINT) AS fsum
+              FROM fp GROUP BY 1, 2, 3, 4, 5)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(nf AS INT) AS n_frames,
+               CAST(sum(fsum) AS DOUBLE) / CAST(w * h * nf AS BIGINT) AS mean_y,
+               CAST(min(CASE WHEN f = 0 THEN fsum END) AS DOUBLE) / CAST(w * h AS BIGINT) AS first_mean_y,
+               CAST(min(CASE WHEN f = nf - 1 THEN fsum END) AS DOUBLE) / CAST(w * h AS BIGINT) AS last_mean_y
+        FROM s GROUP BY doc_id, w, h, nf""")),
+
+    // REAL frame sampling: every 2nd decoded Y4M frame emits its mean
+    // luma — the decode path of q_frame_sample's container-probe shape
+    // (map-only flatMap generator, no shuffle; row multiplication at the
+    // sampled-frame grain, which at 100 TB is the stage that must never
+    // force a pre-shuffle).
+    Q("q_video_frames",
+      (s, dir) => Multimodal.frameSampleY4m(
+        Multimodal.y4mFixture(t(s, dir, "documents"), "doc_id"), stride = 2),
+      Some("""
+        WITH d AS (SELECT doc_id, 4 + 2 * (doc_id % 4) AS w, 2 + 2 * (doc_id % 3) AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f FROM d),
+        fp AS (SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS p FROM fr)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+               CAST(sum((doc_id * 3 + 7 * f + 5 * p) % 256) AS DOUBLE) / CAST(w * h AS BIGINT) AS mean_y
+        FROM fp GROUP BY doc_id, f, w, h""")),
+
     // Sequence packing (concat-and-chop batch prep): per-language shards,
     // 2048-token training windows; each doc gets its token-offset interval
     // and spanned bin range from ONE bounded cumulative-sum window per

@@ -445,6 +445,82 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeY4m: fixture round-trip matches closed-form luma sums; frame walk is positional") {
+    import TestSpark.spark.implicits._
+    val fixture = Multimodal.y4mFixture(Seq(0L, 5L, 11L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
+    for ((id, bytes) <- fixture) {
+      val w = (4 + 2 * (id % 4)).toInt
+      val h = (2 + 2 * (id % 3)).toInt
+      val nf = (2 + id % 4).toInt
+      val Some((dw, dh, sums)) = Multimodal.decodeY4m(bytes)
+      assert((dw, dh, sums.length) === ((w, h, nf)), s"id $id")
+      val exp = (0 until nf).map(f =>
+        (0 until w * h).map(p => (id * 3 + 7 * f + 5 * p) % 256).sum.toLong)
+      assert(sums.toSeq === exp, s"id $id")
+    }
+  }
+
+  test("decodeY4m: colorspace geometry, frame parameters, malformed/hostile rejection") {
+    def y4m(header: String, frames: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write((header + "\n").getBytes("US-ASCII"))
+      frames.foreach(out.write)
+      out.toByteArray
+    }
+    def frame(marker: String, data: Array[Byte]): Array[Byte] =
+      (marker + "\n").getBytes("US-ASCII") ++ data
+    // mono 2x2: luma only, two frames; the second FRAME carries a
+    // parameter (spec-legal) and must still parse
+    val mono = y4m("YUV4MPEG2 W2 H2 F25:1 Cmono",
+      frame("FRAME", Array[Byte](1, 2, 3, 4)),
+      frame("FRAME Xtag", Array[Byte](10, 20, 30, 40)))
+    assert(Multimodal.decodeY4m(mono).map(t => (t._1, t._2, t._3.toSeq))
+      === Some((2, 2, Seq(10L, 100L))))
+    // C444: chroma planes are full-size; C422: half-width. The luma sums
+    // must be identical across colorspaces — only the skip stride differs.
+    val y = Array[Byte](1, 2, 3, 4)
+    val c444 = y4m("YUV4MPEG2 W2 H2 C444", frame("FRAME", y ++ new Array[Byte](8)))
+    val c422 = y4m("YUV4MPEG2 W2 H2 C422", frame("FRAME", y ++ new Array[Byte](4)))
+    val c420 = y4m("YUV4MPEG2 W2 H2 C420jpeg", frame("FRAME", y ++ new Array[Byte](2)))
+    for (b <- Seq(c444, c422, c420))
+      assert(Multimodal.decodeY4m(b).map(_._3.toSeq) === Some(Seq(10L)))
+    // default colorspace when C is absent is 420
+    assert(Multimodal.decodeY4m(y4m("YUV4MPEG2 W2 H2", frame("FRAME", y ++ new Array[Byte](2))))
+      .map(_._3.toSeq) === Some(Seq(10L)))
+    // rejection: bad magic, no frames, truncated frame payload, garbage
+    // between frames, odd dims under 420, hostile header dims (rejected
+    // BEFORE any walk), missing header newline, non-numeric W
+    assert(Multimodal.decodeY4m("JUNK W2 H2\n".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(y4m("YUV4MPEG2 W2 H2 Cmono")).isEmpty)
+    assert(Multimodal.decodeY4m(
+      y4m("YUV4MPEG2 W2 H2 Cmono", frame("FRAME", Array[Byte](1, 2, 3)))).isEmpty)
+    assert(Multimodal.decodeY4m(
+      y4m("YUV4MPEG2 W2 H2 Cmono", frame("FRAME", Array[Byte](1, 2, 3, 4)) ++ "XX".getBytes)).isEmpty)
+    assert(Multimodal.decodeY4m(
+      y4m("YUV4MPEG2 W3 H2 C420jpeg", frame("FRAME", new Array[Byte](9)))).isEmpty)
+    assert(Multimodal.decodeY4m(
+      y4m("YUV4MPEG2 W1048576 H1048576 Cmono", frame("FRAME", new Array[Byte](16)))).isEmpty)
+    assert(Multimodal.decodeY4m("YUV4MPEG2 W2 H2 Cmono".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(y4m("YUV4MPEG2 Wx H2 Cmono",
+      frame("FRAME", Array[Byte](1, 2, 3, 4)))).isEmpty)
+  }
+
+  test("frameSampleY4m: stride-2 sampling emits exactly the even frames, map-only") {
+    import TestSpark.spark.implicits._
+    // id=3: 5 frames (2 + 3%4) -> frames 0, 2, 4
+    val media = Multimodal.y4mFixture(Seq(3L).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.frameSampleY4m(media, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._2)
+    val w = 10; val h = 2 // id=3: w = 4+2*3, h = 2+2*0
+    def mean(f: Int): Double =
+      (0 until w * h).map(p => (3 * 3 + 7 * f + 5 * p) % 256).sum.toDouble / (w * h)
+    assert(rows.toSeq === Seq((3L, 0, mean(0)), (3L, 2, mean(2)), (3L, 4, mean(4))))
+    // no shuffle in the plan: a pure map-side generator
+    val plan = Multimodal.frameSampleY4m(media, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+  }
+
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
     // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
     // Int.MaxValue — Int arithmetic would index negatively and throw instead
