@@ -1125,4 +1125,52 @@ object Curation {
       minDocs: Int): DataFrame =
     stripSpans(docs, idCol, textCol,
       exactSubstrSpans(docs, idCol, textCol, spanTokens, minDocs, distinctDocs = true))
+
+  /** C4-style line/document quality filter (Raffel et al. 1910.10683 §2.2;
+    * the reference's sanitize step `a1_2_news_data_scrapper.py:25-44` is the
+    * seed this generalizes). Line rules — a line survives iff it
+    *   (1) ends in terminal punctuation (`.` `!` `?` `"`),
+    *   (2) carries at least `minWordsPerLine` whitespace words, and
+    *   (3) does not mention "javascript" (case-insensitive);
+    * document rules — `keep` is true iff
+    *   (4) at least `minLinesPerDoc` lines survive,
+    *   (5) the full text contains no "lorem ipsum", no `{`, and
+    *   (6) no blocklist term (case-insensitive substring).
+    *
+    * Entirely per-row — one pass of codegen HOFs (split → trim-filter →
+    * predicate filter → join), zero shuffles, so at 100 TB this is the
+    * cheap map stage it must be: throughput is parquet-scan-bound and
+    * every rule is a whole-stage-codegen string predicate. The cleaned
+    * text of dropped documents is still emitted (callers filter on
+    * `keep`); C4 drops the page, CCNet keeps it for later stages — both
+    * compose from this one output.
+    */
+  def c4Filter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String] = Seq.empty,
+      minWordsPerLine: Int = 5,
+      minLinesPerDoc: Int = 3): DataFrame = {
+    require(minWordsPerLine > 0 && minLinesPerDoc > 0,
+      s"need positive thresholds: $minWordsPerLine / $minLinesPerDoc")
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), l => length(l) > 0)
+    def lineKeep(l: Column): Column =
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(TextFns.tokens(l)) >= minWordsPerLine &&
+        !contains(lower(l), lit("javascript"))
+    val keptLines = filter(lines, lineKeep _)
+    val blocked = blocklist.foldLeft(lit(false))(
+      (acc, w) => acc || contains(lower(col(textCol)), lit(w.toLowerCase)))
+    docs.select(
+      col(idCol),
+      array_join(keptLines, "\n").as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(keptLines).cast("long").as("n_lines_kept"),
+      (size(keptLines) >= minLinesPerDoc &&
+        !contains(lower(col(textCol)), lit("lorem ipsum")) &&
+        !contains(col(textCol), lit("{")) &&
+        !blocked).as("keep"))
+  }
 }

@@ -1322,6 +1322,68 @@ object CorpusQueries {
         LEFT JOIN tot t ON t.doc_id = p.doc_id
         LEFT JOIN re ON re.doc_id = p.doc_id""")),
 
+    // C4 quality filter (Raffel et al. 1910.10683 §2.2): terminal-punct /
+    // min-words / "javascript" line rules + lorem-ipsum / curly-brace /
+    // blocklist / min-lines document verdict. The fixture decorates the
+    // corpus deterministically so every rule fires: line punctuation
+    // cycles (doc_id+i)%4 (the '' arm drops), every 5th line is 3 words
+    // (drops), and four planted lines exercise the javascript, lorem,
+    // '{', and blocklist rules. One map-only pass, zero shuffles.
+    Q("q_c4_filter",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val id = col("doc_id")
+        val body = transform(
+          sequence(lit(0), ((size(toks) - lit(1)) / 8).cast("int")),
+          i => concat(
+            array_join(
+              slice(toks, i * 8 + 1, when(i % 5 === 4, lit(3)).otherwise(lit(8))), " "),
+            element_at(array(lit("."), lit("!"), lit("?"), lit("")),
+              ((id + i) % 4 + 1).cast("int"))))
+        def maybe(cond: org.apache.spark.sql.Column, line: String) =
+          when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
+        val lines = concat(body,
+          maybe(id % 6 === 0, "please enable javascript to continue browsing."),
+          maybe(id % 17 === 0, "lorem ipsum dolor sit amet consectetur."),
+          maybe(id % 13 === 0, "function() { return window.token; }"),
+          maybe(id % 19 === 0, "this badword line would otherwise survive."))
+        Curation.c4Filter(
+          t(s, dir, "documents").select(id, array_join(lines, "\n").as("ptext")),
+          "doc_id", "ptext", blocklist = Seq("badword"))
+      },
+      Some("""
+        WITH tkl AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        base AS (
+          SELECT doc_id,
+                 [array_to_string(tk[i*8+1 : i*8 + CASE WHEN i % 5 = 4 THEN 3 ELSE 8 END], ' ')
+                    || ['.','!','?',''][CAST((doc_id + i) % 4 AS INT) + 1]
+                  FOR i IN range(0, greatest(len(tk) - 1, 0) // 8 + 1)] AS ls
+          FROM tkl),
+        lns AS (
+          SELECT doc_id,
+                 ls
+                 || CASE WHEN doc_id % 6 = 0 THEN ['please enable javascript to continue browsing.'] ELSE CAST([] AS VARCHAR[]) END
+                 || CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum dolor sit amet consectetur.'] ELSE CAST([] AS VARCHAR[]) END
+                 || CASE WHEN doc_id % 13 = 0 THEN ['function() { return window.token; }'] ELSE CAST([] AS VARCHAR[]) END
+                 || CASE WHEN doc_id % 19 = 0 THEN ['this badword line would otherwise survive.'] ELSE CAST([] AS VARCHAR[]) END AS ls
+          FROM base),
+        f AS (
+          SELECT doc_id, ls, array_to_string(ls, chr(10)) AS ptext,
+                 list_filter(ls, l -> right(l, 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(string_split_regex(l, '\s+'), t -> t <> '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')) AS kl
+          FROM lns)
+        SELECT doc_id,
+               coalesce(array_to_string(kl, chr(10)), '') AS clean_text,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kl) AS BIGINT) AS n_lines_kept,
+               (len(kl) >= 3 AND NOT contains(lower(ptext), 'lorem ipsum')
+                 AND NOT contains(ptext, '{')
+                 AND NOT contains(lower(ptext), 'badword')) AS keep
+        FROM f""")),
+
     // DSIR-style importance selection (Xie et al. 2302.03169): hashed
     // bigram models of target (lang='en') vs raw, arithmetic-mean smoothed
     // likelihood-ratio score (the log-free, hash-verifiable form — see

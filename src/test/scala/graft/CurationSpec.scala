@@ -549,4 +549,41 @@ class CurationSpec extends AnyFunSuite {
     // two "a b" paragraphs -> within-doc dedup also applies (first kept)
     assert(got === (("a b", 1L, 1L)))
   }
+
+  test("c4Filter: every line rule and every document verdict fires") {
+    val docs = Seq(
+      // all three line rules in one doc; survives the doc gates
+      (1L, "one two three four five.\nsix seven eight nine ten!\n" +
+        "alpha beta gamma delta eps?\nno terminal punctuation here at all\n" +
+        "short line.\nplease enable javascript to continue browsing."),
+      // kept lines pass, but the page mentions lorem ipsum (case-insensitive)
+      (2L, "a b c d e.\nf g h i j.\nk l m n o.\nLorem Ipsum dolor sit amet."),
+      // curly brace anywhere in the page drops it
+      (3L, "a b c d e.\nf g h i j.\nk l m n o.\nfunction() { return; }"),
+      // blocklist term inside a perfectly well-formed line
+      (4L, "a b c d e.\nf g h i j.\nk l m n o p BADWORD.\n"),
+      // fewer than minLinesPerDoc survivors
+      (5L, "only one good line here today.\nnope"),
+      // closing-quote terminal punctuation counts
+      (6L, "he said \"fine words indeed today\"\nx y z w v.\nq r s t u!"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val got = Curation.c4Filter(docs, "doc_id", "text", blocklist = Seq("badword"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === (("one two three four five.\nsix seven eight nine ten!\n" +
+      "alpha beta gamma delta eps?", 6L, 3L, true)))
+    assert(got(2L) === (("a b c d e.\nf g h i j.\nk l m n o.\n" +
+      "Lorem Ipsum dolor sit amet.", 4L, 4L, false)))
+    assert(got(3L) === (("a b c d e.\nf g h i j.\nk l m n o.", 4L, 3L, false)))
+    assert(got(4L) === (("a b c d e.\nf g h i j.\nk l m n o p BADWORD.", 3L, 3L, false)))
+    assert(got(5L) === (("only one good line here today.", 2L, 1L, false)))
+    assert(got(6L) === (("he said \"fine words indeed today\"\nx y z w v.\nq r s t u!",
+      3L, 3L, true)))
+    assert(got(7L) === (("", 0L, 0L, false)))
+    // map-only: the filter must not introduce any exchange
+    val plan = Curation.c4Filter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4Filter must be map-only:\n$plan")
+  }
 }
