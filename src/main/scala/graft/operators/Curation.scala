@@ -1173,4 +1173,68 @@ object Curation {
         !contains(col(textCol), lit("{")) &&
         !blocked).as("keep"))
   }
+
+  /** Tracking query parameters dropped by [[urlCanonicalize]] — the
+    * RE2-compatible prefix set every crawl pipeline strips (the regex also
+    * runs verbatim in the DuckDB oracle).
+    */
+  val TrackingParamRegex = "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)="
+
+  /** Crawl-URL canonicalization — the ingest-side normalization a C4/CCNet
+    * crawl pipeline runs before URL-level dedup (the reference's scrapers
+    * key articles by raw link, `a1_2_news_data_scrapper.py:25-44`; at crawl
+    * scale the same page arrives under case-, port-, fragment- and
+    * tracking-param-variant URLs and raw keys under-merge).
+    *
+    * Rules, in order: lowercase scheme and host, strip userinfo, strip the
+    * scheme's default port (`:80` http / `:443` https — a nonstandard port
+    * is identity and survives), strip a leading `www.`, drop the fragment,
+    * drop tracking params ([[TrackingParamRegex]]), sort surviving params
+    * (order is not identity), strip trailing slashes. Path case and
+    * nonstandard ports are preserved — they ARE identity. `domain` is the
+    * last two host labels (a public-suffix list is a lookup-table join a
+    * deployment adds; the column contract is the same).
+    *
+    * Pure per-row regexp/HOF work — map-only, zero shuffles, every rule in
+    * whole-stage codegen; at 100 TB this runs at parquet-scan throughput.
+    */
+  def urlCanonicalize(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = trim(col(urlCol))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val noUser = regexp_replace(hostport, "^[^@]*@", "")
+    val noPort = when(scheme === "http", regexp_replace(noUser, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noUser, ":443$", ""))
+      .otherwise(noUser)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRegex)))
+    val bareHost = regexp_extract(host, "^([^:]*)", 1)
+    df.select(
+      col(idCol), col(urlCol),
+      concat(scheme, lit("://"), host, path,
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit(""))).as("canon_url"),
+      when(contains(bareHost, lit(".")),
+        regexp_extract(bareHost, "([^.]+\\.[^.]+)$", 1))
+        .otherwise(bareHost).as("domain"),
+      path.as("path"))
+  }
+
+  /** URL-level crawl dedup over [[urlCanonicalize]]: canonical-URL grain,
+    * earliest id survives (crawl order = fetch priority), duplicate count
+    * kept for the crawl-frontier report. ONE shuffle on the canonical key
+    * with map-side combine — at 100 TB this is the standard pre-fetch
+    * frontier compaction.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    urlCanonicalize(df, idCol, urlCol)
+      .groupBy(col("canon_url"))
+      .agg(
+        min(col(idCol)).as("keep_" + idCol),
+        count(lit(1)).as("n_urls"),
+        min(col("domain")).as("domain"))
 }

@@ -57,6 +57,75 @@ object CorpusQueries {
         simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id")
         .persist())
 
+  /** Deterministic messy-URL fixture over the documents table: scheme and
+    * host case shifts, userinfo, default (:80/:443) and nonstandard
+    * (:8080) ports, trailing slashes, tracking params, fragments — every
+    * rule of [[Curation.urlCanonicalize]] fires, and distinct raw URLs
+    * collapse onto shared canonical forms (cycle lcm 420 < corpus size).
+    */
+  private def urlFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = col("doc_id")
+    val url = concat(
+      element_at(array(lit("HTTP"), lit("https"), lit("HTTPS")), (d % 3 + 1).cast("int")),
+      lit("://"),
+      when(d % 11 === 0, lit("user:pass@")).otherwise(lit("")),
+      lit("WWW.Site"), (d % 7).cast("string"), lit(".Example.COM"),
+      element_at(array(lit(""), lit(":443"), lit(":8080"), lit(":80")), (d % 4 + 1).cast("int")),
+      lit("/Cat/item"), (d % 5).cast("string"),
+      when(d % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), (d % 10).cast("string"), lit("&utm_source=feed"),
+      when(d % 5 === 0, lit("&gclid=ZZ")).otherwise(lit("")),
+      when(d % 2 === 1, lit("#Section")).otherwise(lit("")))
+    t(s, dir, "documents").select(d, url.as("url"))
+  }
+
+  /** DuckDB replay of [[urlFixture]] + [[Curation.urlCanonicalize]]'s
+    * regexp chain (RE2-compatible patterns, shared verbatim), ending in a
+    * `canon` CTE both URL oracles select from.
+    */
+  private val UrlCanonSql = """
+        WITH u AS (
+          SELECT doc_id,
+                 ['HTTP', 'https', 'HTTPS'][CAST(doc_id % 3 AS INT) + 1] || '://'
+                 || CASE WHEN doc_id % 11 = 0 THEN 'user:pass@' ELSE '' END
+                 || 'WWW.Site' || (doc_id % 7) || '.Example.COM'
+                 || ['', ':443', ':8080', ':80'][CAST(doc_id % 4 AS INT) + 1]
+                 || '/Cat/item' || (doc_id % 5)
+                 || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                 || '?id=' || (doc_id % 10) || '&utm_source=feed'
+                 || CASE WHEN doc_id % 5 = 0 THEN '&gclid=ZZ' ELSE '' END
+                 || CASE WHEN doc_id % 2 = 1 THEN '#Section' ELSE '' END AS url
+          FROM documents),
+        cparts AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+          FROM u),
+        hparts AS (
+          SELECT doc_id, url, scheme,
+                 regexp_replace(
+                   CASE WHEN scheme = 'http'
+                          THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':80$', '')
+                        WHEN scheme = 'https'
+                          THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':443$', '')
+                        ELSE regexp_replace(hostport, '^[^@]*@', '') END,
+                   '^www\.', '') AS host,
+                 regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                 regexp_extract(rest, '\?(.*)$', 1) AS q
+          FROM cparts),
+        canon AS (
+          SELECT doc_id, url, path,
+                 scheme || '://' || host || path
+                 || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url,
+                 CASE WHEN contains(bh, '.') THEN regexp_extract(bh, '([^.]+\.[^.]+)$', 1)
+                      ELSE bh END AS domain
+          FROM (SELECT *,
+                  list_sort(list_filter(string_split(q, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)='))) AS ps,
+                  regexp_extract(host, '^([^:]*)', 1) AS bh
+                FROM hparts))"""
+
   /** The q_simhash_pairs oracle CTE chain, reused as the edge list of the
     * dedup-group oracle.
     */
@@ -1383,6 +1452,26 @@ object CorpusQueries {
                  AND NOT contains(ptext, '{')
                  AND NOT contains(lower(ptext), 'badword')) AS keep
         FROM f""")),
+
+    // Crawl-URL canonicalization: the fixture builds messy real-world
+    // variants (case-shifted scheme/host, userinfo, default + nonstandard
+    // ports, trailing slashes, tracking params, fragments) and the
+    // operator's canonical form must agree with the DuckDB replay of the
+    // same regexp chain. Map-only.
+    Q("q_url_canonical",
+      (s, dir) => Curation.urlCanonicalize(urlFixture(s, dir), "doc_id", "url"),
+      Some(UrlCanonSql + """
+        SELECT doc_id, url, canon_url, domain, path FROM canon""")),
+
+    // URL-grain crawl dedup over the canonical form: earliest doc survives,
+    // duplicate mass per canonical URL. ONE shuffle with map-side combine —
+    // the standard crawl-frontier compaction at 100 TB.
+    Q("q_url_dedup",
+      (s, dir) => Curation.urlDedup(urlFixture(s, dir), "doc_id", "url"),
+      Some(UrlCanonSql + """
+        SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_urls, min(domain) AS domain
+        FROM canon GROUP BY 1""")),
 
     // DSIR-style importance selection (Xie et al. 2302.03169): hashed
     // bigram models of target (lang='en') vs raw, arithmetic-mean smoothed

@@ -586,4 +586,43 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"c4Filter must be map-only:\n$plan")
   }
+
+  test("urlCanonicalize: every normalization rule, identity preservation, dedup") {
+    val urls = Seq(
+      // all-noise variant: case, userinfo, default port, www, trailing
+      // slash, tracking params (unsorted), fragment
+      (1L, "HTTPS://u:p@WWW.News.Example.COM:443/World/story1/?utm_source=x&id=7&fbclid=F#top"),
+      // the clean twin — must collapse onto the same canonical form
+      (2L, "https://news.example.com/World/story1?id=7"),
+      // http default port; param order must not matter (sorted output)
+      (3L, "http://site.org:80/a?b=2&a=1"),
+      (4L, "http://site.org/a?a=1&b=2"),
+      // NON-identity must be preserved: nonstandard port, https:80, path case
+      (5L, "https://site.org:8080/a"),
+      (6L, "https://site.org:80/a"),
+      (7L, "http://site.org/A"),
+      // single-label host: domain = host; root path with only tracking params
+      (8L, "http://localhost/?utm_campaign=z")
+    ).toDF("doc_id", "url")
+    val got = Curation.urlCanonicalize(urls, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(got(1L) === (("https://news.example.com/World/story1?id=7", "example.com")))
+    assert(got(1L)._1 === got(2L)._1)
+    assert(got(3L) === (("http://site.org/a?a=1&b=2", "site.org")))
+    assert(got(3L)._1 === got(4L)._1)
+    assert(got(5L)._1 === "https://site.org:8080/a")
+    assert(got(6L)._1 === "https://site.org:80/a") // :80 is not https' default
+    assert(got(7L)._1 === "http://site.org/A")     // path case IS identity
+    assert(got(8L) === (("http://localhost", "localhost")))
+    // dedup: canonical grain, earliest id survives
+    val dd = Curation.urlDedup(urls, "doc_id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dd("https://news.example.com/World/story1?id=7") === ((1L, 2L)))
+    assert(dd("http://site.org/a?a=1&b=2") === ((3L, 2L)))
+    assert(dd.size === 6)
+    // canonicalization itself is map-only
+    val plan = Curation.urlCanonicalize(urls, "doc_id", "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"urlCanonicalize must be map-only:\n$plan")
+  }
 }
