@@ -896,6 +896,60 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a windowed audio-energy row (see `audioEnergy`). */
+  val audioEnergySchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("start_sample", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("mean_amp", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** Windowed energy contour over mono PCM16 WAV — the frame/hop RMS pass
+    * every audio-curation pipeline runs before VAD / silence trimming /
+    * segment selection (the FFT front-end swaps in where this frames).
+    * Frames start at every `hop` samples while inside the signal; the tail
+    * frame is partial. Per-frame mean and RMS are each ONE division of an
+    * exact integer sum (sum and sum-of-squares accumulate in Long — at
+    * PCM16 amplitude a frame would need 2^33 samples to overflow), and
+    * IEEE sqrt is bit-exact, so the doubles replay in the oracle.
+    *
+    * Map-only flatMap generator like [[frameSampleY4m]]: row multiplication
+    * happens at the frame grain with no shuffle — at 100 TB the contour is
+    * parquet-scan-bound and embarrassingly parallel. Non-mono or
+    * undecodable payloads yield no rows (callers needing an audit join
+    * back against the id spine).
+    */
+  def audioEnergy(media: DataFrame, frameSamples: Int, hop: Int): DataFrame = {
+    require(frameSamples > 0 && hop > 0,
+      s"need positive frame/hop: $frameSamples / $hop")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioEnergySchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        val bytes = r.getAs[Array[Byte]]("content")
+        parseWavPcm16(bytes) match {
+          case Some((channels, _, _, off, n)) if channels == 1 && n > 0 =>
+            Iterator.range(0, n, hop).zipWithIndex.map { case (s0, f) =>
+              val end = math.min(s0 + frameSamples, n)
+              var s1 = 0L
+              var s2 = 0L
+              var k = s0
+              while (k < end) {
+                val v = pcm16At(bytes, off, k)
+                s1 += v
+                s2 += v.toLong * v
+                k += 1
+              }
+              val m = end - s0
+              Row(id, f, s0.toLong, m, s1.toDouble / m, math.sqrt(s2.toDouble / m))
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** Schema of a decoded-video feature row (see `decodeY4mFeatures`). */
   val videoFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

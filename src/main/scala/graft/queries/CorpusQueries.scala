@@ -1057,6 +1057,32 @@ object CorpusQueries {
                sqrt(CAST(sum(s * s) AS DOUBLE) / ((n + 1) // 2)) AS rms
         FROM f GROUP BY doc_id, n""")),
 
+    // Windowed audio energy contour (frame 8 / hop 4 over the same PCM16
+    // fixture): the VAD/silence-trim front-end. Overlapping hops and a
+    // partial tail frame both occur at every fixture length (n in
+    // [16, 32]); per-frame mean/RMS are single divisions of exact integer
+    // sums + IEEE sqrt, so the doubles hash-replay. Map-only flatMap —
+    // frame-grain row multiplication with zero shuffles.
+    Q("q_audio_energy",
+      (s, dir) => Multimodal.audioEnergy(
+        Multimodal.wavFixture(t(s, dir, "documents"), "doc_id"),
+        frameSamples = 8, hop = 4),
+      Some("""
+        WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+        fr AS (SELECT doc_id, n, unnest(range(0, (n + 3) // 4)) AS f FROM d),
+        sm AS (SELECT doc_id, n, f, unnest(range(f * 4, least(f * 4 + 8, n))) AS k FROM fr),
+        ag AS (SELECT doc_id, f, count(*) AS m,
+                      CAST(sum(((doc_id * 13 + k * 5) % 4096) - 2048) AS BIGINT) AS s1,
+                      CAST(sum((((doc_id * 13 + k * 5) % 4096) - 2048)
+                             * (((doc_id * 13 + k * 5) % 4096) - 2048)) AS BIGINT) AS s2
+               FROM sm GROUP BY 1, 2)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+               CAST(f * 4 AS BIGINT) AS start_sample,
+               CAST(m AS INT) AS n_samples,
+               CAST(s1 AS DOUBLE) / m AS mean_amp,
+               sqrt(CAST(s2 AS DOUBLE) / m) AS rms
+        FROM ag""")),
+
     // Int8 scalar quantization of the embedding table (per-dim min/max
     // scaling): one stats pass + broadcast + map-only quantize. Emitted as
     // (vec_id, dim, q) rows; q and the dequantization are rational IEEE

@@ -521,6 +521,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  test("audioEnergy: frame/hop windows match a plain-Scala replay; tail frame partial") {
+    import TestSpark.spark.implicits._
+    val media = Multimodal.wavFixture(Seq(2L, 9L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioEnergy(media, frameSamples = 8, hop = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getDouble(4), r.getDouble(5)))).toMap
+    for (id <- Seq(2L, 9L)) {
+      val n = (16 + id % 17).toInt
+      val samples = (0 until n).map(k => (((id * 13 + k * 5) % 4096) - 2048).toInt)
+      val nFrames = (n + 3) / 4
+      assert(got.keys.count(_._1 == id) === nFrames, s"id $id")
+      for (f <- 0 until nFrames) {
+        val fr = samples.slice(f * 4, math.min(f * 4 + 8, n))
+        val s1 = fr.map(_.toLong).sum
+        val s2 = fr.map(v => v.toLong * v).sum
+        assert(got((id, f)) === ((f * 4L, fr.size,
+          s1.toDouble / fr.size, math.sqrt(s2.toDouble / fr.size))), s"id $id frame $f")
+      }
+      // tail frame of the hop grid is shorter than a full frame
+      assert(got((id, nFrames - 1))._2 < 8)
+    }
+    // junk and empty-signal payloads yield no rows; map-only plan
+    val junk = Seq((1L, "RIFFnope".getBytes)).toDF("doc_id", "content")
+    assert(Multimodal.audioEnergy(junk, 8, 4).count() === 0L)
+    val plan = Multimodal.audioEnergy(media, 8, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"audioEnergy must be map-only:\n$plan")
+  }
+
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
     // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
     // Int.MaxValue — Int arithmetic would index negatively and throw instead
