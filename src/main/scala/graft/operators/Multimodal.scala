@@ -268,6 +268,146 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a perceptual-hash row (see `dHashFeatures`). The 64-bit
+    * dHash travels as two unsigned 32-bit words in BIGINTs — a single
+    * BIGINT cannot carry bit 63 portably (the oracle's 2^63 overflows).
+    */
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("dhash_hi", LongType, nullable = true),
+    StructField("dhash_lo", LongType, nullable = true)))
+
+  /** 64-bit difference hash (dHash) of a decodable netpbm raster — the
+    * standard perceptual fingerprint image-dedup pipelines run before
+    * pairing (LAION-style image-level near-dup). The raster is sampled on
+    * a 9x8 nearest-neighbor grid (the same `x*sw/tw` floor map as
+    * [[resizePnm]]), luminance is the integer CHANNEL SUM (dividing by
+    * channel count is a monotone constant — comparisons, and therefore
+    * bits, are unchanged, and the arithmetic stays integer-exact for the
+    * oracle), and bit y*8+x is set iff the right neighbor is strictly
+    * brighter: grid(y, x+1) > grid(y, x).
+    *
+    * @return (hi, lo) unsigned 32-bit words: bits 32..63 and 0..31
+    */
+  private[graft] def dHash(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    parsePnmHeader(bytes).map { case (sw, sh, channels, off) =>
+      val lum = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * sh / 8).toInt
+        var x = 0
+        while (x < 9) {
+          val sx = (x.toLong * sw / 9).toInt
+          val base = (off + (sy.toLong * sw + sx) * channels).toInt
+          var s = 0
+          var c = 0
+          while (c < channels) { s += bytes(base + c) & 0xff; c += 1 }
+          lum(y)(x) = s
+          x += 1
+        }
+        y += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      var b = 0
+      while (b < 64) {
+        if (lum(b / 8)(b % 8 + 1) > lum(b / 8)(b % 8)) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      (sw, sh, hi, lo)
+    }
+
+  /** Deterministic P6 fixture with PLANTED near-duplicates: image content
+    * is keyed by `base = id % 250` (dims and pixel pattern), shifted by a
+    * global `+ id/250 % 3` byte offset — so id and id+250 render
+    * near-identical rasters (dHash differs only where the +1 shift crosses
+    * a 255→0 wrap between adjacent grid samples) and same-shift copies are
+    * exact duplicates. The dup-group structure an image-dedup query needs,
+    * with a closed form the oracle replays.
+    */
+  def dhashFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val b = id % 250
+      val pert = (id / 250) % 3
+      val w = (4 + b % 5).toInt
+      val h = (3 + b % 4).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      // b-dependent linear AND quadratic structure (not just a constant
+      // offset): distinct content keys render distinct gradient shapes, so
+      // near-dup pairs are dominated by the PLANTED +pert shifts rather
+      // than every same-size image pairing with every other
+      val body = Array.tabulate(w * h * 3)(k =>
+        ((b * 7 + k.toLong * (2 + b % 16) + k.toLong * k * (b % 9) + pert) % 256).toByte)
+      (id, header ++ body)
+    }.toDF("doc_id", "content")
+  }
+
+  /** Batched per-partition perceptual hashing — decode-stage shape with
+    * [[dHash]] inside; undecodable payloads yield null hash words.
+    */
+  def dHashFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imageHashSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        dHash(r.getAs[Array[Byte]]("content")) match {
+          case Some((w, h, hi, lo)) => Row(r.getAs[Long]("doc_id"), w, h, hi, lo)
+          case None => Row(r.getAs[Long]("doc_id"), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-dup candidate pairs over [[dHashFeatures]] output by
+    * banded dHash join: 4 bands of 16 bits; pairs sharing an exact band
+    * are verified with full 64-bit hamming distance. By pigeonhole the
+    * banding is EXACT (equals brute force) for `maxHamming <= 3` — four
+    * disjoint bands cannot all differ when at most 3 bits do — which is
+    * why the threshold is capped; raise the band count before the
+    * threshold. Same self-join shape as the simhash block join: persist
+    * the hash frame and broadcast the probe side locally (a join SHUFFLED
+    * on a hot band key degenerates to one task per band; at cluster scale
+    * with billions of images, shuffle both sides on (band_idx, band_val)
+    * instead — the hash frame is 16 bytes/row but no longer
+    * broadcast-able).
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is exact only for maxHamming <= 3, got $maxHamming")
+    val bands = posexplode(array(
+      col("dhash_lo").bitwiseAND(lit(0xffffL)),
+      shiftright(col("dhash_lo"), 16).bitwiseAND(lit(0xffffL)),
+      col("dhash_hi").bitwiseAND(lit(0xffffL)),
+      shiftright(col("dhash_hi"), 16).bitwiseAND(lit(0xffffL))))
+    val e = hashes
+      .filter(col("dhash_hi").isNotNull)
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        bands.as(Seq("band_idx", "band_val")))
+      .persist()
+    val a = e.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("a_id"), col("dhash_hi").as("__ahi"), col("dhash_lo").as("__alo"))
+    val bs = e.select(col("band_idx").as("__bi"), col("band_val").as("__bv"),
+      col("doc_id").as("b_id"), col("dhash_hi").as("__bhi"), col("dhash_lo").as("__blo"))
+    val ham = (bit_count(col("__ahi").bitwiseXOR(col("__bhi"))) +
+      bit_count(col("__alo").bitwiseXOR(col("__blo")))).cast("int")
+    val out = a.join(broadcast(bs),
+        col("band_idx") === col("__bi") && col("band_val") === col("__bv") &&
+        col("a_id") < col("b_id") && ham <= maxHamming)
+      .select(col("a_id"), col("b_id"), ham.as("hamming"))
+      .distinct()
+      // eager: the post-distinct pair frame is small; materializing it here
+      // lets the banded cache release instead of leaking for the session
+      // (same discipline as winnowMatches)
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Schema of a decoded-BMP feature row (see `decodeBmpFeatures`). */
   val bmpFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

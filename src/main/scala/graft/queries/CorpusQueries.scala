@@ -126,6 +126,34 @@ object CorpusQueries {
                   regexp_extract(host, '^([^:]*)', 1) AS bh
                 FROM hparts))"""
 
+  /** DuckDB replay of [[Multimodal.dhashFixture]] + [[Multimodal.dHash]]:
+    * closed-form 9x8 nearest-neighbor luminance grid → difference bits →
+    * two unsigned 32-bit hash words, ending in a `ph` CTE (doc_id, width,
+    * height, dhash_hi, dhash_lo) both perceptual-hash oracles select from.
+    */
+  private val DHashSql = """
+        WITH d AS (SELECT doc_id, doc_id % 250 AS b, (doc_id // 250) % 3 AS pert FROM documents),
+        dim AS (SELECT doc_id, b, pert, 4 + b % 5 AS w, 3 + b % 4 AS h FROM d),
+        grid AS (SELECT doc_id, b, pert, w, h, y, x,
+                        ((y * h // 8) * w + (x * w // 9)) * 3 AS base
+                 FROM dim, (SELECT unnest(range(0, 8)) AS y), (SELECT unnest(range(0, 9)) AS x)),
+        lum AS (SELECT doc_id, y, x,
+                       (b*7 + base*(2 + b % 16) + base*base*(b % 9) + pert) % 256
+                         + (b*7 + (base+1)*(2 + b % 16) + (base+1)*(base+1)*(b % 9) + pert) % 256
+                         + (b*7 + (base+2)*(2 + b % 16) + (base+2)*(base+2)*(b % 9) + pert) % 256 AS l
+                FROM grid),
+        bits AS (SELECT a.doc_id, a.y * 8 + a.x AS bit
+                 FROM lum a JOIN lum r ON r.doc_id = a.doc_id AND r.y = a.y AND r.x = a.x + 1
+                 WHERE a.x < 8 AND r.l > a.l),
+        hw AS (SELECT doc_id,
+                      CAST(coalesce(sum(CASE WHEN bit >= 32 THEN 2^(bit-32) END), 0) AS BIGINT) AS dhash_hi,
+                      CAST(coalesce(sum(CASE WHEN bit < 32 THEN 2^bit END), 0) AS BIGINT) AS dhash_lo
+               FROM bits GROUP BY 1),
+        ph AS (SELECT m.doc_id, CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+                      coalesce(hw.dhash_hi, CAST(0 AS BIGINT)) AS dhash_hi,
+                      coalesce(hw.dhash_lo, CAST(0 AS BIGINT)) AS dhash_lo
+               FROM dim m LEFT JOIN hw ON hw.doc_id = m.doc_id)"""
+
   /** The q_simhash_pairs oracle CTE chain, reused as the edge list of the
     * dedup-group oracle.
     */
@@ -1056,6 +1084,34 @@ object CorpusQueries {
                CAST(sum(s) AS DOUBLE) / ((n + 1) // 2) AS mean_amp,
                sqrt(CAST(sum(s * s) AS DOUBLE) / ((n + 1) // 2)) AS rms
         FROM f GROUP BY doc_id, n""")),
+
+    // Perceptual image hash (dHash): 9x8 nearest-neighbor luminance grid,
+    // difference bits, two unsigned 32-bit words. The fixture plants
+    // near-duplicates (content keyed by doc_id % 250, +1/+2 byte shifts) —
+    // real decoded bytes through the real parser, closed-form oracle.
+    Q("q_image_phash",
+      (s, dir) => Multimodal.dHashFeatures(
+        Multimodal.dhashFixture(t(s, dir, "documents"), "doc_id")),
+      Some(DHashSql + """
+        SELECT doc_id, width, height, dhash_hi, dhash_lo FROM ph""")),
+
+    // Image near-dup pairs by banded dHash join (4x16-bit bands, full
+    // hamming verify <= 3). Pigeonhole makes the banding EXACT at this
+    // threshold, so the oracle is the brute-force all-pairs scan the
+    // banded plan must reproduce — the same guarantee the MinHash-LSH
+    // family gets from its candidate oracle.
+    Q("q_image_phash_pairs",
+      (s, dir) => Multimodal.imageNearDupPairs(
+        Multimodal.dHashFeatures(
+          Multimodal.dhashFixture(t(s, dir, "documents"), "doc_id")),
+        maxHamming = 3),
+      Some(DHashSql + """
+        SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+               CAST(bit_count(xor(a.dhash_hi, c.dhash_hi))
+                    + bit_count(xor(a.dhash_lo, c.dhash_lo)) AS INT) AS hamming
+        FROM ph a JOIN ph c ON a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.dhash_hi, c.dhash_hi))
+              + bit_count(xor(a.dhash_lo, c.dhash_lo)) <= 3""")),
 
     // Windowed audio energy contour (frame 8 / hop 4 over the same PCM16
     // fixture): the VAD/silence-trim front-end. Overlapping hops and a

@@ -521,6 +521,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  test("dHash: bits match a plain-Scala grid replay; banded pairs equal brute force") {
+    import TestSpark.spark.implicits._
+    val ids = ((0L until 60L) ++ (250L until 310L)).toSeq // planted near-dup pairs
+    val media = Multimodal.dhashFixture(ids.toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.dHashFeatures(media)
+    val got = hashes.collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    for (id <- ids) {
+      val b = id % 250
+      val pert = (id / 250) % 3
+      val w = (4 + b % 5).toInt
+      val h = (3 + b % 4).toInt
+      def pix(k: Int): Int =
+        ((b * 7 + k.toLong * (2 + b % 16) + k.toLong * k * (b % 9) + pert) % 256).toInt
+      def lum(y: Int, x: Int): Int = {
+        val base = ((y * h / 8) * w + (x * w / 9)) * 3
+        pix(base) + pix(base + 1) + pix(base + 2)
+      }
+      var hi = 0L
+      var lo = 0L
+      for (bit <- 0 until 64)
+        if (lum(bit / 8, bit % 8 + 1) > lum(bit / 8, bit % 8)) {
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+      assert(got(id) === ((w, h, hi, lo)), s"id $id")
+    }
+    // banded join == brute force at the pigeonhole-exact threshold
+    val banded = Multimodal.imageNearDupPairs(hashes, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, (_, _, ahi, alo)) <- got.toSeq
+      (c, (_, _, chi, clo)) <- got.toSeq
+      if a < c
+      hd = java.lang.Long.bitCount(ahi ^ chi) + java.lang.Long.bitCount(alo ^ clo)
+      if hd <= 3
+    } yield (a, c, hd)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "planted near-dups must actually pair")
+    // junk bytes hash to nulls; threshold above banding exactness rejected
+    val junk = Seq((1L, "P9junk".getBytes)).toDF("doc_id", "content")
+    assert(Multimodal.dHashFeatures(junk).collect().head.isNullAt(3))
+    intercept[IllegalArgumentException](Multimodal.imageNearDupPairs(hashes, 4))
+  }
+
   test("audioEnergy: frame/hop windows match a plain-Scala replay; tail frame partial") {
     import TestSpark.spark.implicits._
     val media = Multimodal.wavFixture(Seq(2L, 9L).toDF("doc_id"), "doc_id")
