@@ -1224,6 +1224,32 @@ object Curation {
       path.as("path"))
   }
 
+  /** Deterministic training-order shuffle with shard assignment — the
+    * "global shuffle" step between curation and sequence packing. Order is
+    * keyed by `md5(salt:id)`: reproducible across runs AND engines (no
+    * engine RNG), re-saltable per epoch, and uniform. `shard` is the write
+    * parallelism (hash mod `nShards`); `pos` is the rank of the full hex
+    * key within the shard.
+    *
+    * Scale shape: ONE shuffle on the shard key + a sort within each shard
+    * — exactly Spark's repartition-then-sort-within-partitions write path.
+    * Locally nShards is small; at 100 TB it is thousands (one shard ≈ one
+    * output file), which keeps the per-shard sort in-memory and the window
+    * unskewed. A global `orderBy(order_key)` (range partition) gives a
+    * total order instead if consumers need one stream.
+    */
+  def corpusShuffle(df: DataFrame, idCol: String, salt: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"need positive shard count: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(nShards.toLong))
+    df.select(col(idCol), h.as("order_key"), shard.as("shard"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard")).orderBy(col("order_key")))
+          - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"), col("order_key"))
+  }
+
   /** URL-level crawl dedup over [[urlCanonicalize]]: canonical-URL grain,
     * earliest id survives (crawl order = fetch priority), duplicate count
     * kept for the crawl-frontier report. ONE shuffle on the canonical key

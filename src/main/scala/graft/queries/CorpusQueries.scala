@@ -1535,6 +1535,28 @@ object CorpusQueries {
                  AND NOT contains(lower(ptext), 'badword')) AS keep
         FROM f""")),
 
+    // Deterministic training-order shuffle: salt-keyed md5 order, 8
+    // shards, rank within shard. One shuffle + per-shard sort (the
+    // repartition-then-sort-within-partitions write path; nShards is
+    // thousands at real scale). Hash-exact vs the DuckDB replay of the
+    // same md5 ranking.
+    Q("q_corpus_shuffle",
+      (s, dir) => Curation.corpusShuffle(
+        t(s, dir, "documents"), "doc_id", salt = "epoch0", nShards = 8),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        sh AS (
+          SELECT doc_id, h,
+                 CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(h, k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) % 8 AS shard
+          FROM b)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h) - 1 AS BIGINT) AS pos,
+               h AS order_key
+        FROM sh""")),
+
     // Crawl-URL canonicalization: the fixture builds messy real-world
     // variants (case-shifted scheme/host, userinfo, default + nonstandard
     // ports, trailing slashes, tracking params, fragments) and the

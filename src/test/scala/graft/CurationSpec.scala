@@ -587,6 +587,22 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"c4Filter must be map-only:\n$plan")
   }
 
+  test("corpusShuffle: dense per-shard ranks, hash-ordered, salt re-shuffles") {
+    val df = (0L until 200L).toDF("doc_id")
+    def run(salt: String) = Curation.corpusShuffle(df, "doc_id", salt, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val a = run("e0")
+    assert(a.length === 200 && a.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    for ((_, rows) <- a.groupBy(_._2)) {
+      // positions are dense 0..n-1 and follow the hex order of the salted key
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+      assert(rows.sortBy(_._3).map(_._4).toSeq === rows.map(_._4).sorted.toSeq)
+    }
+    // reproducible run-to-run; a new salt is a genuinely different epoch order
+    assert(run("e0").toSet === a.toSet)
+    assert(run("e1").map(r => r._1 -> r._3).toMap !== a.map(r => r._1 -> r._3).toMap)
+  }
+
   test("urlCanonicalize: every normalization rule, identity preservation, dedup") {
     val urls = Seq(
       // all-noise variant: case, userinfo, default port, www, trailing
