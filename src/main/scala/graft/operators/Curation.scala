@@ -1224,6 +1224,59 @@ object Curation {
       path.as("path"))
   }
 
+  /** HTML main-content extraction — the boilerpipe/jusText-style front end
+    * of web curation (strip scripts, split into tag-delimited blocks,
+    * drop navigation by LINK DENSITY, reassemble the article text). The
+    * reference's scraper does the bs4 equivalent per article
+    * (`a1_2_news_data_scrapper.py:25-44`); this is the corpus-scale form.
+    *
+    * Pipeline, all per-row (map-only, whole-stage codegen, RE2-compatible
+    * regexes so the DuckDB oracle replays them verbatim):
+    *   1. remove `<script>`/`<style>` elements and HTML comments;
+    *   2. split on block-level tags (`p div h1-h6 li br nav header
+    *      footer`);
+    *   3. per block: tag-stripped text, word count, and the word count of
+    *      `<a>` anchor contents — a block survives iff it has at least
+    *      `minWordsPerBlock` words and link_words <= maxLinkDensity *
+    *      words (jusText's nav heuristic: menus are all links);
+    *   4. surviving block texts rejoin as `clean_text`.
+    *
+    * This is a heuristic segmenter, not an HTML parser — malformed nesting
+    * degrades to over-splitting (blocks just get smaller), never to
+    * failure.
+    */
+  def htmlExtract(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minWordsPerBlock: Int = 3,
+      maxLinkDensity: Double = 0.5): DataFrame = {
+    require(minWordsPerBlock > 0 && maxLinkDensity >= 0,
+      s"bad thresholds: $minWordsPerBlock / $maxLinkDensity")
+    val noScript = regexp_replace(regexp_replace(regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", ""),
+      "(?is)<style[^>]*>.*?</style>", ""),
+      "(?s)<!--.*?-->", "")
+    def stripTags(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+    val analyzed = transform(
+      split(noScript, "(?i)</?(p|div|h[1-6]|li|br|nav|header|footer)[^>]*>"),
+      b => struct(
+        stripTags(b).as("btext"),
+        stripTags(array_join(
+          regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")).as("atext")))
+    val nonEmpty = filter(analyzed, s => length(s.getField("btext")) > 0)
+    val kept = filter(nonEmpty, s =>
+      size(TextFns.tokens(s.getField("btext"))) >= minWordsPerBlock &&
+        size(TextFns.tokens(s.getField("atext"))).cast("double") <=
+          lit(maxLinkDensity) * size(TextFns.tokens(s.getField("btext"))))
+    docs.select(
+      col(idCol),
+      array_join(transform(kept, s => s.getField("btext")), "\n").as("clean_text"),
+      size(nonEmpty).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_blocks_kept"))
+  }
+
   /** Deterministic training-order shuffle with shard assignment — the
     * "global shuffle" step between curation and sequence packing. Order is
     * keyed by `md5(salt:id)`: reproducible across runs AND engines (no

@@ -1535,6 +1535,82 @@ object CorpusQueries {
                  AND NOT contains(lower(ptext), 'badword')) AS keep
         FROM f""")),
 
+    // HTML main-content extraction (boilerpipe/jusText front end): the
+    // fixture wraps each document's token chunks in a real page skeleton —
+    // style + script heads, a nav menu that must die by link density, an
+    // inline anchor that must survive inside its paragraph (doc_id%3),
+    // a too-short div (doc_id%4), a comment. Map-only regexp/HOF pass;
+    // the oracle replays the identical RE2 chain.
+    Q("q_html_extract",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val id = col("doc_id")
+        val nChunk = ((size(toks) - lit(1)) / 8).cast("int")
+        val para0 = when(id % 3 === 0,
+          concat(lit("<p><a href=\"/l\">"), array_join(slice(toks, 1, 2), " "),
+            lit("</a> "), array_join(slice(toks, 3, 6), " "), lit("</p>")))
+          .otherwise(concat(lit("<p>"), array_join(slice(toks, 1, 8), " "), lit("</p>")))
+        val paras = array_join(
+          transform(
+            when(nChunk >= 1, sequence(lit(1), nChunk))
+              .otherwise(array().cast("array<int>")),
+            i => concat(lit("<p>"), array_join(slice(toks, i * 8 + 1, lit(8)), " "), lit("</p>"))),
+          "")
+        val html = concat(
+          lit("<html><head><style>p { margin: 0 }</style>" +
+            "<script>var t = 'x';</script></head><body>"),
+          lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+            "<a href=\"/c\">contact</a></nav>"),
+          para0, paras,
+          when(id % 4 === 0, lit("<div>ok</div>")).otherwise(lit("")),
+          lit("<!-- tail comment --></body></html>"))
+        Curation.htmlExtract(
+          t(s, dir, "documents").select(id, html.as("html")), "doc_id", "html")
+      },
+      Some("""
+        WITH tkl AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        fx AS (SELECT doc_id,
+           '<html><head><style>p { margin: 0 }</style><script>var t = ''x'';</script></head><body>'
+           || '<nav><a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a></nav>'
+           || CASE WHEN doc_id % 3 = 0
+                THEN '<p><a href="/l">' || array_to_string(tk[1:2], ' ') || '</a> '
+                     || array_to_string(tk[3:8], ' ') || '</p>'
+                ELSE '<p>' || array_to_string(tk[1:8], ' ') || '</p>' END
+           || coalesce(array_to_string(['<p>' || array_to_string(tk[i*8+1:i*8+8], ' ') || '</p>'
+                 FOR i IN range(1, greatest(len(tk) - 1, 0) // 8 + 1)], ''), '')
+           || CASE WHEN doc_id % 4 = 0 THEN '<div>ok</div>' ELSE '' END
+           || '<!-- tail comment --></body></html>' AS html FROM tkl),
+        nos AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', '', 'g'),
+             '(?is)<style[^>]*>.*?</style>', '', 'g'),
+             '(?s)<!--.*?-->', '', 'g') AS h FROM fx),
+        bl AS (SELECT doc_id,
+           string_split_regex(h, '(?i)</?(p|div|h[1-6]|li|br|nav|header|footer)[^>]*>') AS bs
+           FROM nos),
+        blocks AS (SELECT doc_id, i AS bi,
+           trim(regexp_replace(regexp_replace(bs[i], '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS btext,
+           trim(regexp_replace(regexp_replace(
+               coalesce(array_to_string(regexp_extract_all(bs[i], '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+               '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS atext
+           FROM bl, UNNEST(range(1, len(bs) + 1)) u(i)),
+        counted AS (SELECT doc_id, bi, btext,
+           len(list_filter(string_split_regex(btext, '\s+'), t -> t <> '')) AS nw,
+           len(list_filter(string_split_regex(atext, '\s+'), t -> t <> '')) AS lw
+           FROM blocks WHERE btext <> ''),
+        kept AS (SELECT doc_id, bi, btext FROM counted WHERE nw >= 3 AND lw <= 0.5 * nw),
+        re AS (SELECT doc_id, string_agg(btext, chr(10) ORDER BY bi) AS ct, count(*) AS nk
+               FROM kept GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS nb FROM counted GROUP BY 1)
+        SELECT d.doc_id, coalesce(re.ct, '') AS clean_text,
+               CAST(coalesce(tot.nb, 0) AS BIGINT) AS n_blocks,
+               CAST(coalesce(re.nk, 0) AS BIGINT) AS n_blocks_kept
+        FROM fx d
+        LEFT JOIN tot ON tot.doc_id = d.doc_id
+        LEFT JOIN re ON re.doc_id = d.doc_id""")),
+
     // Deterministic training-order shuffle: salt-keyed md5 order, 8
     // shards, rank within shard. One shuffle + per-shard sort (the
     // repartition-then-sort-within-partitions write path; nShards is

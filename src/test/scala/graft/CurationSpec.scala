@@ -587,6 +587,35 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"c4Filter must be map-only:\n$plan")
   }
 
+  test("htmlExtract: scripts vanish, nav dropped by link density, article survives") {
+    val docs = Seq(
+      (1L, "<html><head><style>p { color: red }</style>" +
+        "<script>var x = 'hello world tracker';</script></head>" +
+        "<body><nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+        "<a href=\"/c\">contact</a></nav>" +
+        "<p>the quick brown fox jumps</p>" +
+        "<p>see <a href=\"/l\">this link</a> for more details here</p>" +
+        "<div>ok</div><!-- hidden comment words --></body></html>"),
+      (2L, "plain text with no tags at all"),
+      (3L, "<p></p><script>only junk</script>"),
+      // malformed nesting degrades to over-splitting, not failure
+      (4L, "<p>alpha beta gamma <div>delta eps zeta</p>")
+    ).toDF("doc_id", "html")
+    val got = Curation.htmlExtract(docs, "doc_id", "html")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // blocks: nav (3 words, all anchored -> density 1 -> dropped), two
+    // paras (kept; anchor text itself survives in the clean text), 'ok'
+    // (short -> dropped); script/style/comment content appears nowhere
+    assert(got(1L) === (("the quick brown fox jumps\n" +
+      "see this link for more details here", 4L, 2L)))
+    assert(got(2L) === (("plain text with no tags at all", 1L, 1L)))
+    assert(got(3L) === (("", 0L, 0L)))
+    assert(got(4L) === (("alpha beta gamma\ndelta eps zeta", 2L, 2L)))
+    val plan = Curation.htmlExtract(docs, "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"htmlExtract must be map-only:\n$plan")
+  }
+
   test("corpusShuffle: dense per-shard ranks, hash-ordered, salt re-shuffles") {
     val df = (0L until 200L).toDF("doc_id")
     def run(salt: String) = Curation.corpusShuffle(df, "doc_id", salt, 4).collect()
