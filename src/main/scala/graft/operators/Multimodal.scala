@@ -1090,6 +1090,194 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a banded audio-fingerprint row (see `audioFingerprint`). */
+  val audioFingerprintSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("band_idx", IntegerType, nullable = false),
+    StructField("band_sig", StringType, nullable = false)))
+
+  /** Deterministic PCM16 WAV fixture with PLANTED near-duplicates — the
+    * audio sibling of [[dhashFixture]]: signal content is keyed by
+    * `base = id % 250` (length, sample pattern, AND a per-segment amplitude
+    * envelope — flat noise would give every frame the same energy and make
+    * every contour collide), offset by a global `+ id/250 % 3` shift, so id
+    * and id+250 carry near-identical energy contours (quantized levels
+    * differ by at most one step) and same-shift copies are exact
+    * duplicates. All divisions are of non-negative integers — Scala `/`
+    * truncation and SQL floor division agree only there.
+    */
+  def wavDupFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val b = id % 250
+      val pert = ((id / 250) % 3).toInt
+      val n = (16 + b % 17).toInt
+      val rate = 8000
+      val dataSize = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      (0 until n).foreach { k =>
+        val raw = ((b * 13 + k * 5) % 4096).toInt
+        val amp = ((b * 7 + k / 4) % 5 + 1).toInt
+        buf.putShort((raw * amp / 5 - 2048 + pert).toShort)
+      }
+      (id, buf.array())
+    }.toDF("doc_id", "content")
+  }
+
+  /** Schema of a quantized frame-level row (see `audioLevels`). */
+  val audioLevelSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("level", LongType, nullable = false)))
+
+  /** Per-frame quantized mean-square energy levels — the exact values
+    * [[audioFingerprint]] bands, emitted at frame grain for the verify
+    * stage of [[audioNearDupPairs]]. Same map-only walk.
+    */
+  def audioLevels(
+      media: DataFrame,
+      frameSamples: Int,
+      hop: Int,
+      qStep: Long): DataFrame = {
+    require(frameSamples > 0 && hop > 0 && qStep > 0,
+      s"need positive params: $frameSamples / $hop / $qStep")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioLevelSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        pcmFrameLevels(r.getAs[Array[Byte]]("content"), frameSamples, hop, qStep)
+          .iterator.flatMap(_.iterator.zipWithIndex.map { case (lv, f) => Row(id, f, lv) })
+      }
+    }(enc)
+  }
+
+  /** The shared frame walk: quantized mean-square level per frame, or None
+    * for non-mono / undecodable / empty payloads.
+    */
+  private def pcmFrameLevels(
+      bytes: Array[Byte],
+      frameSamples: Int,
+      hop: Int,
+      qStep: Long): Option[Array[Long]] =
+    parseWavPcm16(bytes) match {
+      case Some((channels, _, _, off, n)) if channels == 1 && n > 0 =>
+        Some(Iterator.range(0, n, hop).map { s0 =>
+          val end = math.min(s0 + frameSamples, n)
+          var s2 = 0L
+          var k = s0
+          while (k < end) {
+            val v = pcm16At(bytes, off, k)
+            s2 += v.toLong * v
+            k += 1
+          }
+          (s2 / (end - s0)) / qStep
+        }.toArray)
+      case _ => None
+    }
+
+  /** Banded acoustic fingerprint over the [[audioEnergy]] contour — the
+    * Shazam/Chromaprint-shaped front end of audio near-dup detection,
+    * arithmetic kept exactly replayable: each frame's mean-square energy is
+    * quantized by INTEGER division (`(s2/m)/qStep`, all Long — no float
+    * anywhere), and `bandFrames` consecutive levels concatenate into one
+    * band signature string. Two recordings of the same content land on
+    * identical signatures for most bands; a volume perturbation flips only
+    * the bands where a level crosses a quantization boundary — exactly the
+    * MinHash-LSH banding contract, transplanted to audio.
+    *
+    * Map-only like [[audioEnergy]]: a doc's frames are computed inside one
+    * flatMap call, so banding happens in-row and the operator emits band
+    * rows with ZERO shuffles — at 100 TB the fingerprint pass is
+    * parquet-scan-bound. Non-mono or undecodable payloads yield no rows.
+    */
+  def audioFingerprint(
+      media: DataFrame,
+      frameSamples: Int,
+      hop: Int,
+      qStep: Long,
+      bandFrames: Int): DataFrame = {
+    require(frameSamples > 0 && hop > 0 && qStep > 0 && bandFrames > 0,
+      s"need positive params: $frameSamples / $hop / $qStep / $bandFrames")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioFingerprintSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        pcmFrameLevels(r.getAs[Array[Byte]]("content"), frameSamples, hop, qStep)
+          .iterator.flatMap(_.grouped(bandFrames).zipWithIndex.map {
+            case (band, bi) => Row(id, bi, band.mkString("-"))
+          })
+      }
+    }(enc)
+  }
+
+  /** Audio near-dup pairs: banded CANDIDATES (pairs sharing at least
+    * `minBands` exact (band_idx, band_sig) cells) verified exactly against
+    * the frame-level contour — same frame count and every frame's level
+    * within `maxLevelDiff`. The candidate/verify split is the MinHash-LSH
+    * contract transplanted to audio: coarse bands give recall, the verify
+    * join kills the coincidental band collisions, and verification cost is
+    * bounded by CANDIDATE mass, never all-pairs.
+    *
+    * Same self-join scale shape as [[imageNearDupPairs]]: persist the
+    * fingerprint frame and broadcast the probe side locally (a join
+    * SHUFFLED on a hot signature key degenerates to one task per popular
+    * sound — silence is the classic offender; at cluster scale shuffle
+    * both sides on (band_idx, band_sig) and cap pathological buckets the
+    * way the MinHash banding does).
+    *
+    * @return (a_id, b_id, n_bands, n_frames, max_level_diff)
+    */
+  def audioNearDupPairs(
+      fps: DataFrame,
+      levels: DataFrame,
+      minBands: Int,
+      maxLevelDiff: Long): DataFrame = {
+    require(minBands > 0 && maxLevelDiff >= 0,
+      s"need positive thresholds: $minBands / $maxLevelDiff")
+    val e = fps.persist()
+    val lv = levels.persist()
+    val a = e.select(col("band_idx"), col("band_sig"), col("doc_id").as("a_id"))
+    val b = e.select(col("band_idx").as("__bi"), col("band_sig").as("__bs"),
+      col("doc_id").as("b_id"))
+    val cand = a.join(broadcast(b),
+        col("band_idx") === col("__bi") && col("band_sig") === col("__bs") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("int").as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+    val nf = lv.groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))
+    val la = lv.select(col("doc_id").as("a_id"), col("frame_idx"), col("level").as("__la"))
+    val lb = lv.select(col("doc_id").as("b_id"), col("frame_idx"), col("level").as("__lb"))
+    val out = cand
+      .join(la, Seq("a_id"))
+      .join(lb, Seq("b_id", "frame_idx"))
+      .groupBy(col("a_id"), col("b_id"), col("n_bands"))
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        max(abs(col("__la") - col("__lb"))).as("max_level_diff"))
+      .join(nf.select(col("doc_id").as("a_id"), col("__nf").as("__na")), Seq("a_id"))
+      .join(nf.select(col("doc_id").as("b_id"), col("__nf").as("__nb")), Seq("b_id"))
+      // full-overlap check: the inner frame join only sees shared indices,
+      // so equal counts on both sides == identical frame grids
+      .filter(col("__na") === col("__nb") && col("n_frames") === col("__na") &&
+        col("max_level_diff") <= maxLevelDiff)
+      .select(col("a_id"), col("b_id"), col("n_bands"), col("n_frames"),
+        col("max_level_diff"))
+      // eager: release the banded + level caches instead of leaking them
+      // for the session (same discipline as imageNearDupPairs)
+      .localCheckpoint()
+    e.unpersist()
+    lv.unpersist()
+    out
+  }
+
   /** Schema of a decoded-video feature row (see `decodeY4mFeatures`). */
   val videoFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

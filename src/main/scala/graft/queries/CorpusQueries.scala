@@ -154,6 +154,28 @@ object CorpusQueries {
                       coalesce(hw.dhash_lo, CAST(0 AS BIGINT)) AS dhash_lo
                FROM dim m LEFT JOIN hw ON hw.doc_id = m.doc_id)"""
 
+  /** DuckDB replay of [[Multimodal.wavDupFixture]] +
+    * [[Multimodal.audioFingerprint]] (frame 8 / hop 4, qStep 32768, 2-frame
+    * bands): integer mean-square levels per frame, concatenated into band
+    * signatures, ending in a `bd` CTE (doc_id, band_idx, band_sig) both
+    * audio-fingerprint oracles select from. All-integer arithmetic — the
+    * quantized levels are exact Long divisions on both engines.
+    */
+  private val AudioFpSql = """
+        WITH d AS (SELECT doc_id, doc_id % 250 AS b, (doc_id // 250) % 3 AS pert FROM documents),
+        dn AS (SELECT doc_id, b, pert, 16 + b % 17 AS n FROM d),
+        fr AS (SELECT doc_id, b, pert, n, unnest(range(0, (n + 3) // 4)) AS f FROM dn),
+        sm AS (SELECT doc_id, b, pert, f, unnest(range(f * 4, least(f * 4 + 8, n))) AS k FROM fr),
+        vv AS (SELECT doc_id, f,
+                      (((b * 13 + k * 5) % 4096) * (((b * 7 + k // 4) % 5) + 1)) // 5
+                        - 2048 + pert AS v
+               FROM sm),
+        ag AS (SELECT doc_id, f, count(*) AS m, sum(v * v) AS s2 FROM vv GROUP BY 1, 2),
+        lv AS (SELECT doc_id, CAST(f AS INT) AS frame_idx, (s2 // m) // 32768 AS level FROM ag),
+        bd AS (SELECT doc_id, CAST(frame_idx // 2 AS INT) AS band_idx,
+                      string_agg(level, '-' ORDER BY frame_idx) AS band_sig
+               FROM lv GROUP BY 1, 2)"""
+
   /** The q_simhash_pairs oracle CTE chain, reused as the edge list of the
     * dedup-group oracle.
     */
@@ -1138,6 +1160,53 @@ object CorpusQueries {
                CAST(s1 AS DOUBLE) / m AS mean_amp,
                sqrt(CAST(s2 AS DOUBLE) / m) AS rms
         FROM ag""")),
+
+    // Banded acoustic fingerprint (Shazam/Chromaprint shape) over a WAV
+    // fixture with PLANTED near-duplicates (id and id+250 differ by a
+    // global amplitude shift): per-frame mean-square energy quantized by
+    // INTEGER division, 2-frame bands. Map-only — banding happens inside
+    // the same flatMap that walks the samples, zero shuffles.
+    Q("q_audio_fingerprint",
+      (s, dir) => Multimodal.audioFingerprint(
+        Multimodal.wavDupFixture(t(s, dir, "documents"), "doc_id"),
+        frameSamples = 8, hop = 4, qStep = 32768L, bandFrames = 2),
+      Some(AudioFpSql + """
+        SELECT doc_id, band_idx, band_sig FROM bd""")),
+
+    // Audio near-dup pairs: banded candidates (>= 2 shared (band_idx,
+    // band_sig) cells — the MinHash-LSH banding contract transplanted to
+    // audio) VERIFIED exactly against the frame-level contour (same frame
+    // grid, every level within +-1). On the planted fixture the verify
+    // stage kills every coincidental band collision while keeping ~98% of
+    // the +shift copies. Candidate-bounded work, never all-pairs.
+    Q("q_audio_neardup_pairs",
+      (s, dir) => {
+        val media = Multimodal.wavDupFixture(t(s, dir, "documents"), "doc_id")
+        Multimodal.audioNearDupPairs(
+          Multimodal.audioFingerprint(media,
+            frameSamples = 8, hop = 4, qStep = 32768L, bandFrames = 2),
+          Multimodal.audioLevels(media, frameSamples = 8, hop = 4, qStep = 32768L),
+          minBands = 2, maxLevelDiff = 1L)
+      },
+      Some(AudioFpSql + """,
+        cand AS (
+          SELECT a.doc_id AS a_id, c.doc_id AS b_id, CAST(count(*) AS INT) AS n_bands
+          FROM bd a JOIN bd c ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+            AND a.doc_id < c.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nfr AS (SELECT doc_id, count(*) AS nf FROM lv GROUP BY 1),
+        ver AS (
+          SELECT cand.a_id, cand.b_id, cand.n_bands,
+                 CAST(count(*) AS INT) AS n_frames,
+                 CAST(max(abs(la.level - lb.level)) AS BIGINT) AS max_level_diff
+          FROM cand
+          JOIN lv la ON la.doc_id = cand.a_id
+          JOIN lv lb ON lb.doc_id = cand.b_id AND lb.frame_idx = la.frame_idx
+          GROUP BY 1, 2, 3)
+        SELECT ver.* FROM ver
+        JOIN nfr na ON na.doc_id = ver.a_id
+        JOIN nfr nb ON nb.doc_id = ver.b_id
+        WHERE na.nf = nb.nf AND ver.n_frames = na.nf AND ver.max_level_diff <= 1""")),
 
     // Int8 scalar quantization of the embedding table (per-dim min/max
     // scaling): one stats pass + broadcast + map-only quantize. Emitted as

@@ -593,6 +593,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"audioEnergy must be map-only:\n$plan")
   }
 
+  test("audioFingerprint: bands match a plain-Scala replay; verified pairs equal brute force") {
+    import TestSpark.spark.implicits._
+    val ids = ((0L until 40L) ++ (250L until 290L)).toSeq // planted near-dup pairs
+    val media = Multimodal.wavDupFixture(ids.toDF("doc_id"), "doc_id")
+    val fps = Multimodal.audioFingerprint(media, frameSamples = 8, hop = 4,
+      qStep = 32768L, bandFrames = 2)
+    val levels = Multimodal.audioLevels(media, frameSamples = 8, hop = 4, qStep = 32768L)
+    val got = fps.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    def replayLevels(id: Long): Seq[Long] = {
+      val b = id % 250
+      val pert = ((id / 250) % 3).toInt
+      val n = (16 + b % 17).toInt
+      val samples = (0 until n).map { k =>
+        val raw = ((b * 13 + k * 5) % 4096).toInt
+        val amp = ((b * 7 + k / 4) % 5 + 1).toInt
+        raw * amp / 5 - 2048 + pert
+      }
+      (0 until n by 4).map { s0 =>
+        val fr = samples.slice(s0, math.min(s0 + 8, n))
+        (fr.map(v => v.toLong * v).sum / fr.size) / 32768L
+      }
+    }
+    def replayBands(id: Long): Seq[(Int, String)] =
+      replayLevels(id).grouped(2).zipWithIndex.map { case (band, bi) =>
+        (bi, band.mkString("-"))
+      }.toSeq
+    val expect =
+      ids.flatMap(id => replayBands(id).map { case (bi, sig) => (id, bi) -> sig }).toMap
+    assert(got === expect)
+    // verified pairs == brute force: >=2 shared bands AND identical frame
+    // grid AND every level within +-1
+    val pairs = Multimodal.audioNearDupPairs(fps, levels, minBands = 2, maxLevelDiff = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val brute = (for {
+      a <- ids; c <- ids
+      if a < c
+      shared = (replayBands(a).toSet intersect replayBands(c).toSet).size
+      if shared >= 2
+      (va, vc) = (replayLevels(a), replayLevels(c))
+      if va.size == vc.size
+      maxDiff = va.zip(vc).map { case (x, y) => math.abs(x - y) }.max
+      if maxDiff <= 1
+    } yield (a, c, shared, va.size, maxDiff)).toSet
+    assert(pairs === brute)
+    assert(brute.nonEmpty, "planted near-dups must actually pair")
+    // the verify stage is load-bearing: candidates alone over-report
+    val cands = (for {
+      a <- ids; c <- ids
+      if a < c && (replayBands(a).toSet intersect replayBands(c).toSet).size >= 2
+    } yield (a, c)).toSet
+    assert(brute.map(p => (p._1, p._2)).subsetOf(cands))
+    // junk payloads yield no rows; the fingerprint pass is map-only
+    val junk = Seq((1L, "RIFFnope".getBytes)).toDF("doc_id", "content")
+    assert(Multimodal.audioFingerprint(junk, 8, 4, 32768L, 2).count() === 0L)
+    assert(Multimodal.audioLevels(junk, 8, 4, 32768L).count() === 0L)
+    val plan = Multimodal.audioFingerprint(media, 8, 4, 32768L, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"audioFingerprint must be map-only:\n$plan")
+    intercept[IllegalArgumentException](
+      Multimodal.audioNearDupPairs(fps, levels, 0, 1L))
+  }
+
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
     // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
     // Int.MaxValue — Int arithmetic would index negatively and throw instead
