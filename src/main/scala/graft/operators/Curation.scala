@@ -1198,8 +1198,12 @@ object Curation {
     * Pure per-row regexp/HOF work — map-only, zero shuffles, every rule in
     * whole-stage codegen; at 100 TB this runs at parquet-scan throughput.
     */
-  def urlCanonicalize(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val u = trim(col(urlCol))
+  /** The scheme / normalized host (nonstandard port kept) / scheme-relative
+    * rest of a raw URL column — the shared front of the canonicalization
+    * rule chain, factored so [[linkGraph]] keys link targets by the exact
+    * same host normalization [[urlCanonicalize]] applies.
+    */
+  private def urlParts(u: Column): (Column, Column, Column) = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
@@ -1207,7 +1211,21 @@ object Curation {
     val noPort = when(scheme === "http", regexp_replace(noUser, ":80$", ""))
       .when(scheme === "https", regexp_replace(noUser, ":443$", ""))
       .otherwise(noUser)
-    val host = regexp_replace(noPort, "^www\\.", "")
+    (scheme, regexp_replace(noPort, "^www\\.", ""), rest)
+  }
+
+  /** The port-free normalized hostname of a raw URL column — the node key
+    * of [[linkGraph]] (graph identity is the host; a nonstandard port is
+    * page identity, not site identity).
+    */
+  private def urlHost(u: Column): Column = {
+    val (_, host, _) = urlParts(trim(u))
+    regexp_extract(host, "^([^:]*)", 1)
+  }
+
+  def urlCanonicalize(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = trim(col(urlCol))
+    val (scheme, host, rest) = urlParts(u)
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query = regexp_extract(rest, "\\?(.*)$", 1)
     val params = array_sort(filter(split(query, "&"),
@@ -1316,4 +1334,38 @@ object Curation {
         min(col(idCol)).as("keep_" + idCol),
         count(lit(1)).as("n_urls"),
         min(col("domain")).as("domain"))
+
+  /** Hyperlink-graph extraction — the web-graph construction step between
+    * [[htmlExtract]] and crawl prioritization: pull `<a href>` targets out
+    * of each page, normalize both endpoints with the [[urlCanonicalize]]
+    * host chain, and aggregate to a weighted host-level edge list. Feeding
+    * the result to [[PageRank.run]] yields the CommonCrawl-style domain
+    * rank that weights sources in curation pipelines.
+    *
+    * Only absolute http(s) targets count (relative links stay within the
+    * source host and carry no cross-site signal; mailto/javascript schemes
+    * are noise). Self-links survive — intra-site link mass is a real
+    * crawl-priority feature; callers drop `src_host = dst_host` rows if
+    * not.
+    *
+    * Shape at scale: per-row regex extraction (RE2-compatible, replayed
+    * verbatim by the oracle) + a link-grain explode + ONE shuffle with
+    * map-side combine on (src_host, dst_host) — host-pair cardinality is
+    * tiny next to link cardinality, so the combine absorbs almost
+    * everything before the exchange.
+    */
+  def linkGraph(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(
+      col(htmlCol), lit("(?is)<a[^>]*href=\"([^\"]*)\""), lit(1))
+    docs
+      .select(urlHost(col(urlCol)).as("src_host"), explode(hrefs).as("__href"))
+      .filter(col("__href").rlike("(?i)^https?://"))
+      .select(col("src_host"), urlHost(col("__href")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+  }
 }

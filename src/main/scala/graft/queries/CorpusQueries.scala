@@ -176,6 +176,77 @@ object CorpusQueries {
                       string_agg(level, '-' ORDER BY frame_idx) AS band_sig
                FROM lv GROUP BY 1, 2)"""
 
+  /** DuckDB replay of the link-graph fixture + [[Curation.linkGraph]]'s
+    * host normalization: the messy source URLs of [[urlFixture]], the
+    * constructed in-page `<a href>` targets (the operator regex-extracts
+    * these from real HTML; the oracle builds the same strings directly),
+    * and the shared host chain applied ONCE to a stacked (role, url)
+    * relation — ending in an `lg` CTE (src_host, dst_host, n_links) both
+    * link-graph oracles select from.
+    */
+  private val LinkGraphSql = """
+        WITH u AS (
+          SELECT doc_id,
+                 ['HTTP', 'https', 'HTTPS'][CAST(doc_id % 3 AS INT) + 1] || '://'
+                 || CASE WHEN doc_id % 11 = 0 THEN 'user:pass@' ELSE '' END
+                 || 'WWW.Site' || (doc_id % 7) || '.Example.COM'
+                 || ['', ':443', ':8080', ':80'][CAST(doc_id % 4 AS INT) + 1]
+                 || '/Cat/item' || (doc_id % 5)
+                 || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                 || '?id=' || (doc_id % 10) || '&utm_source=feed'
+                 || CASE WHEN doc_id % 5 = 0 THEN '&gclid=ZZ' ELSE '' END
+                 || CASE WHEN doc_id % 2 = 1 THEN '#Section' ELSE '' END AS url
+          FROM documents),
+        links AS (
+          SELECT doc_id, unnest(
+            [{i: 1, h: 'https://Site' || ((doc_id * 3 + 1) % 7) || '.Example.COM/p'},
+             {i: 2, h: 'http://www.site' || ((doc_id * 5 + 2) % 7)
+                       || '.example.com:80/q?utm_source=x&id=' || (doc_id % 4)}]
+            || CASE WHEN doc_id % 2 = 0
+                 THEN [{i: 3, h: 'https://Site' || ((doc_id * 3 + 1) % 7) || '.Example.COM/p'}]
+                 ELSE CAST([] AS STRUCT(i INT, h VARCHAR)[]) END,
+            recursive := true)
+          FROM u),
+        stacked AS (
+          SELECT doc_id, 0 AS i, url AS u2 FROM u
+          UNION ALL SELECT doc_id, i, h AS u2 FROM links),
+        hosts AS (
+          SELECT doc_id, i,
+                 regexp_extract(regexp_replace(
+                   CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                        ELSE hp END, '^www\.', ''), '^([^:]*)', 1) AS host
+          FROM (SELECT doc_id, i,
+                  lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^[^@]*@', '') AS hp
+                FROM stacked)),
+        lg AS (
+          SELECT s.host AS src_host, d.host AS dst_host, CAST(count(*) AS BIGINT) AS n_links
+          FROM hosts s JOIN hosts d ON d.doc_id = s.doc_id AND s.i = 0 AND d.i > 0
+          GROUP BY 1, 2)"""
+
+  /** The link-graph page fixture: each document carries its (messy)
+    * [[urlFixture]] source URL plus an HTML body with two absolute links
+    * (one clean-cased, one www/:80/tracking-param variant), a RELATIVE link
+    * that must be ignored, and — on even ids — a repeat of the first link
+    * (multiplicity must count).
+    */
+  private def linkFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = col("doc_id")
+    val first = concat(lit("https://Site"), ((d * 3 + 1) % 7).cast("string"),
+      lit(".Example.COM/p"))
+    val html = concat(
+      lit("<html><body><p>see <a href=\""), first, lit("\">t</a></p>"),
+      lit("<a href=\"http://www.site"), ((d * 5 + 2) % 7).cast("string"),
+      lit(".example.com:80/q?utm_source=x&id="), (d % 4).cast("string"), lit("\">u</a>"),
+      lit("<a href=\"/rel\">rel</a>"),
+      when(d % 2 === 0, concat(lit("<a href=\""), first, lit("\">again</a>")))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    urlFixture(s, dir).select(d, col("url"), html.as("html"))
+  }
+
   /** The q_simhash_pairs oracle CTE chain, reused as the edge list of the
     * dedup-group oracle.
     */
