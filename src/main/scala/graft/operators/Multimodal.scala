@@ -363,43 +363,99 @@ object Multimodal {
     }(enc)
   }
 
+  /** Build-side strategy for the banded near-dup self-joins
+    * ([[imageNearDupPairs]], [[audioNearDupPairs]]).
+    *
+    * [[NearDupBuild.Broadcast]] replicates the banded frame to every task —
+    * right while the corpus (or its cluster/LSH block) fits one executor,
+    * and immune to hot signature keys (silence, flat images) because no
+    * task owns a key. [[NearDupBuild.Shuffle]] is the cluster-scale path:
+    * a HINT-FREE shuffle on the (band_idx, band value) cell — AQE sizes,
+    * coalesces, and skew-splits the exchange — with the MinHash-style
+    * per-cell cap (`TextDedup.candidatePairs` discipline) dropping
+    * pathological cells so no single popular signature funnels quadratic
+    * work into one task. Capped cells trade recall for boundedness exactly
+    * as LSH bucket caps do; members of a dropped cell can still pair
+    * through their other bands.
+    */
+  sealed trait NearDupBuild
+  object NearDupBuild {
+    case object Broadcast extends NearDupBuild
+    final case class Shuffle(bucketCap: Int = 10000) extends NearDupBuild
+  }
+
+  /** Drop rows of banded cells whose population exceeds `cap` (shuffle-mode
+    * guard; one extra shuffle for the window count, reused by the join that
+    * follows because both hash-partition on the same cell key prefix).
+    */
+  private def capCells(banded: DataFrame, cellCols: Seq[String], cap: Int): DataFrame =
+    banded
+      .withColumn("__cell_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(cellCols.map(col): _*)))
+      .filter(col("__cell_n") <= cap)
+      .drop("__cell_n")
+
+  /** The 4x16-bit band explode of a [[dHashFeatures]] frame: one row per
+    * (doc, band) with the full hash carried alongside for the verify
+    * predicate.
+    */
+  private[graft] def imageBands(hashes: DataFrame): DataFrame =
+    hashes
+      .filter(col("dhash_hi").isNotNull)
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        posexplode(array(
+          col("dhash_lo").bitwiseAND(lit(0xffffL)),
+          shiftright(col("dhash_lo"), 16).bitwiseAND(lit(0xffffL)),
+          col("dhash_hi").bitwiseAND(lit(0xffffL)),
+          shiftright(col("dhash_hi"), 16).bitwiseAND(lit(0xffffL))))
+          .as(Seq("band_idx", "band_val")))
+
+  /** The banded image self-join itself, pre-checkpoint — factored out so
+    * plan specs can assert the physical join strategy of each
+    * [[NearDupBuild]] mode (the public wrapper's `localCheckpoint` hides
+    * the plan behind an RDD scan).
+    */
+  private[graft] def imageNearDupJoin(
+      e: DataFrame, maxHamming: Int, build: NearDupBuild): DataFrame = {
+    val a = e.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("a_id"), col("dhash_hi").as("__ahi"), col("dhash_lo").as("__alo"))
+    val bs = e.select(col("band_idx").as("__bi"), col("band_val").as("__bv"),
+      col("doc_id").as("b_id"), col("dhash_hi").as("__bhi"), col("dhash_lo").as("__blo"))
+    val probe = build match {
+      case NearDupBuild.Broadcast => broadcast(bs)
+      case _: NearDupBuild.Shuffle => bs
+    }
+    val ham = (bit_count(col("__ahi").bitwiseXOR(col("__bhi"))) +
+      bit_count(col("__alo").bitwiseXOR(col("__blo")))).cast("int")
+    a.join(probe,
+        col("band_idx") === col("__bi") && col("band_val") === col("__bv") &&
+        col("a_id") < col("b_id") && ham <= maxHamming)
+      .select(col("a_id"), col("b_id"), ham.as("hamming"))
+      .distinct()
+  }
+
   /** Image near-dup candidate pairs over [[dHashFeatures]] output by
     * banded dHash join: 4 bands of 16 bits; pairs sharing an exact band
     * are verified with full 64-bit hamming distance. By pigeonhole the
     * banding is EXACT (equals brute force) for `maxHamming <= 3` — four
     * disjoint bands cannot all differ when at most 3 bits do — which is
     * why the threshold is capped; raise the band count before the
-    * threshold. Same self-join shape as the simhash block join: persist
-    * the hash frame and broadcast the probe side locally (a join SHUFFLED
-    * on a hot band key degenerates to one task per band; at cluster scale
-    * with billions of images, shuffle both sides on (band_idx, band_val)
-    * instead — the hash frame is 16 bytes/row but no longer
-    * broadcast-able).
+    * threshold. Same self-join shape as the simhash block join; the
+    * build-side strategy is a [[NearDupBuild]] parameter (broadcast while
+    * the hash frame fits, hint-free capped shuffle at cluster scale).
     */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding is exact only for maxHamming <= 3, got $maxHamming")
-    val bands = posexplode(array(
-      col("dhash_lo").bitwiseAND(lit(0xffffL)),
-      shiftright(col("dhash_lo"), 16).bitwiseAND(lit(0xffffL)),
-      col("dhash_hi").bitwiseAND(lit(0xffffL)),
-      shiftright(col("dhash_hi"), 16).bitwiseAND(lit(0xffffL))))
-    val e = hashes
-      .filter(col("dhash_hi").isNotNull)
-      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-        bands.as(Seq("band_idx", "band_val")))
-      .persist()
-    val a = e.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("a_id"), col("dhash_hi").as("__ahi"), col("dhash_lo").as("__alo"))
-    val bs = e.select(col("band_idx").as("__bi"), col("band_val").as("__bv"),
-      col("doc_id").as("b_id"), col("dhash_hi").as("__bhi"), col("dhash_lo").as("__blo"))
-    val ham = (bit_count(col("__ahi").bitwiseXOR(col("__bhi"))) +
-      bit_count(col("__alo").bitwiseXOR(col("__blo")))).cast("int")
-    val out = a.join(broadcast(bs),
-        col("band_idx") === col("__bi") && col("band_val") === col("__bv") &&
-        col("a_id") < col("b_id") && ham <= maxHamming)
-      .select(col("a_id"), col("b_id"), ham.as("hamming"))
-      .distinct()
+    val banded = imageBands(hashes)
+    val e = (build match {
+      case NearDupBuild.Shuffle(cap) => capCells(banded, Seq("band_idx", "band_val"), cap)
+      case NearDupBuild.Broadcast => banded
+    }).persist()
+    val out = imageNearDupJoin(e, maxHamming, build)
       // eager: the post-distinct pair frame is small; materializing it here
       // lets the banded cache release instead of leaking for the session
       // (same discipline as winnowMatches)
@@ -1218,6 +1274,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** The banded audio candidate join, pre-checkpoint (see
+    * [[imageNearDupJoin]] for why this is factored out).
+    */
+  private[graft] def audioNearDupCandidates(
+      e: DataFrame, minBands: Int, build: NearDupBuild): DataFrame = {
+    val a = e.select(col("band_idx"), col("band_sig"), col("doc_id").as("a_id"))
+    val b = e.select(col("band_idx").as("__bi"), col("band_sig").as("__bs"),
+      col("doc_id").as("b_id"))
+    val probe = build match {
+      case NearDupBuild.Broadcast => broadcast(b)
+      case _: NearDupBuild.Shuffle => b
+    }
+    a.join(probe,
+        col("band_idx") === col("__bi") && col("band_sig") === col("__bs") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("int").as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+  }
+
   /** Audio near-dup pairs: banded CANDIDATES (pairs sharing at least
     * `minBands` exact (band_idx, band_sig) cells) verified exactly against
     * the frame-level contour — same frame count and every frame's level
@@ -1226,12 +1302,11 @@ object Multimodal {
     * join kills the coincidental band collisions, and verification cost is
     * bounded by CANDIDATE mass, never all-pairs.
     *
-    * Same self-join scale shape as [[imageNearDupPairs]]: persist the
-    * fingerprint frame and broadcast the probe side locally (a join
-    * SHUFFLED on a hot signature key degenerates to one task per popular
-    * sound — silence is the classic offender; at cluster scale shuffle
-    * both sides on (band_idx, band_sig) and cap pathological buckets the
-    * way the MinHash banding does).
+    * Same self-join scale shape as [[imageNearDupPairs]], with the same
+    * [[NearDupBuild]] build-side parameter: broadcast the fingerprint
+    * frame while it fits (immune to hot signature keys — silence is the
+    * classic offender), else a hint-free capped shuffle on
+    * (band_idx, band_sig).
     *
     * @return (a_id, b_id, n_bands, n_frames, max_level_diff)
     */
@@ -1239,20 +1314,16 @@ object Multimodal {
       fps: DataFrame,
       levels: DataFrame,
       minBands: Int,
-      maxLevelDiff: Long): DataFrame = {
+      maxLevelDiff: Long,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame = {
     require(minBands > 0 && maxLevelDiff >= 0,
       s"need positive thresholds: $minBands / $maxLevelDiff")
-    val e = fps.persist()
+    val e = (build match {
+      case NearDupBuild.Shuffle(cap) => capCells(fps, Seq("band_idx", "band_sig"), cap)
+      case NearDupBuild.Broadcast => fps
+    }).persist()
     val lv = levels.persist()
-    val a = e.select(col("band_idx"), col("band_sig"), col("doc_id").as("a_id"))
-    val b = e.select(col("band_idx").as("__bi"), col("band_sig").as("__bs"),
-      col("doc_id").as("b_id"))
-    val cand = a.join(broadcast(b),
-        col("band_idx") === col("__bi") && col("band_sig") === col("__bs") &&
-        col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).cast("int").as("n_bands"))
-      .filter(col("n_bands") >= minBands)
+    val cand = audioNearDupCandidates(e, minBands, build)
     val nf = lv.groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))
     val la = lv.select(col("doc_id").as("a_id"), col("frame_idx"), col("level").as("__la"))
     val lb = lv.select(col("doc_id").as("b_id"), col("frame_idx"), col("level").as("__lb"))

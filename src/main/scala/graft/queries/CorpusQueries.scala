@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{ConnectedComponents, Curation, Dedup, Multimodal, SetSimJoin, Similarity, TextDedup}
+import graft.operators.{ConnectedComponents, Curation, Dedup, Multimodal, PageRank, SetSimJoin, Similarity, TextDedup}
 import Q.t
 
 /** Training-data pipeline queries over the `documents` / `embeddings`
@@ -1792,6 +1792,58 @@ object CorpusQueries {
         SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
                CAST(count(*) AS BIGINT) AS n_urls, min(domain) AS domain
         FROM canon GROUP BY 1""")),
+
+    // Host-level weighted link graph from raw page HTML: regex-extract
+    // absolute <a href> targets, normalize src + dst through the SAME host
+    // chain urlCanonicalize uses, count multiplicity. Relative links and
+    // non-http(s) schemes are dropped; self-links survive. ONE shuffle
+    // with map-side combine on the (src_host, dst_host) pair.
+    Q("q_link_graph",
+      (s, dir) => Curation.linkGraph(linkFixture(s, dir), "doc_id", "html", "url"),
+      Some(LinkGraphSql + """
+        SELECT src_host, dst_host, n_links FROM lg""")),
+
+    // CommonCrawl-style domain rank: linkGraph -> PageRank (3 damped
+    // iterations) — the source-authority weight curation pipelines assign
+    // crawled hosts. PageRank distincts the edge list (rank is a
+    // graph-topology signal; link multiplicity is q_link_graph's business),
+    // and the per-node neighbor sum is the same ordered fold the
+    // q_pagerank oracle replays, so the doubles are bit-exact in DuckDB.
+    Q("q_domain_rank",
+      (s, dir) => PageRank.run(
+          Curation.linkGraph(linkFixture(s, dir), "doc_id", "html", "url"),
+          "src_host", "dst_host", iterations = 3)
+        .withColumnRenamed("node", "host"),
+      Some(LinkGraphSql + """
+        , e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lg),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM n),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+        r0 AS (SELECT node, (CAST(1.0 AS DOUBLE) / CAST(n_nodes AS DOUBLE)) AS rank
+               FROM n CROSS JOIN nn),
+        s1 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
+                        (a, x) -> a + x) AS s
+               FROM ed JOIN r0 r ON r.node = ed.src GROUP BY 1),
+        r1 AS (SELECT n.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+                       (CAST(0.85 AS DOUBLE) * coalesce(s1.s, CAST(0.0 AS DOUBLE)))) AS rank
+               FROM n LEFT JOIN s1 ON s1.dst = n.node),
+        s2 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
+                        (a, x) -> a + x) AS s
+               FROM ed JOIN r1 r ON r.node = ed.src GROUP BY 1),
+        r2 AS (SELECT n.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+                       (CAST(0.85 AS DOUBLE) * coalesce(s2.s, CAST(0.0 AS DOUBLE)))) AS rank
+               FROM n LEFT JOIN s2 ON s2.dst = n.node),
+        s3 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
+                        (a, x) -> a + x) AS s
+               FROM ed JOIN r2 r ON r.node = ed.src GROUP BY 1),
+        r3 AS (SELECT n.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+                       (CAST(0.85 AS DOUBLE) * coalesce(s3.s, CAST(0.0 AS DOUBLE)))) AS rank
+               FROM n LEFT JOIN s3 ON s3.dst = n.node)
+        SELECT node AS host, rank FROM r3""")),
 
     // DSIR-style importance selection (Xie et al. 2302.03169): hashed
     // bigram models of target (lang='en') vs raw, arithmetic-mean smoothed

@@ -670,4 +670,37 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"urlCanonicalize must be map-only:\n$plan")
   }
+
+  test("linkGraph: absolute-href filter, multiplicity, self-links, host parity") {
+    val pages = Seq(
+      // two absolute links to the same host through DIFFERENT messy forms
+      // (case, www, :80 default port) — both must normalize to
+      // b.example.com, and multiplicity must count (n_links = 2); the
+      // relative and mailto hrefs must be dropped
+      (1L, "https://u:p@WWW.A.Example.COM:443/x",
+        "<a href=\"https://B.example.com/p\">t</a><a href=\"/rel\">r</a>" +
+        "<a href=\"mailto:x@example.com\">m</a>" +
+        "<a href=\"HTTP://www.b.EXAMPLE.com:80/q?z=1\">t2</a>"),
+      // self-link survives (intra-site mass is signal); javascript: dropped
+      (2L, "https://a.example.com/y",
+        "<a href=\"https://a.example.com/self\">s</a>" +
+        "<a href=\"javascript:void(0)\">j</a>"),
+      // page with no absolute links contributes no edges at all
+      (3L, "https://c.example.com/z", "<p>no links</p>")
+    ).toDF("doc_id", "url", "html")
+    val got = Curation.linkGraph(pages, "doc_id", "html", "url")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a.example.com", "b.example.com") -> 2L,
+      ("a.example.com", "a.example.com") -> 1L))
+    // host normalization parity: the src key is the same host
+    // urlCanonicalize's domain chain produces for the same messy URL
+    val canonHost = Curation.urlCanonicalize(
+        Seq((1L, "https://u:p@WWW.A.Example.COM:443/x")).toDF("doc_id", "url"),
+        "doc_id", "url")
+      .select(regexp_extract(col("canon_url"), "^https?://([^/:?#]*)", 1))
+      .head().getString(0)
+    assert(canonHost === "a.example.com")
+    assert(got.keys.map(_._1).toSet === Set("a.example.com"))
+  }
 }

@@ -93,6 +93,71 @@ class PlanShapeSpec extends AnyFunSuite {
       s"boilerplate scoring must stay inverted-index shaped:\n$plan")
     assert(plan.contains("LeftSemi"), s"expected a semi-join on the span key:\n$plan")
   }
+
+  test("imageNearDupPairs build side: both modes pair identically; plans differ as declared") {
+    import graft.operators.Multimodal
+    import Multimodal.NearDupBuild
+    val ids = ((0L until 30L) ++ (250L until 280L)).toSeq
+    val media = Multimodal.dhashFixture(ids.toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.dHashFeatures(media)
+    def pairs(b: NearDupBuild) = Multimodal.imageNearDupPairs(hashes, 3, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bc = pairs(NearDupBuild.Broadcast)
+    assert(bc.nonEmpty, "fixture must plant near-dup pairs")
+    // an uncapped shuffle must agree exactly with broadcast
+    assert(pairs(NearDupBuild.Shuffle(Int.MaxValue)) === bc)
+    // plan shapes, pre-checkpoint, with AUTO-broadcast disabled so the
+    // assertion discriminates the hint (tiny test frames would otherwise
+    // auto-broadcast in both modes): broadcast mode still builds a
+    // broadcast hash join (the hint), shuffle mode does not (hint-free —
+    // AQE owns the exchange at runtime)
+    val banded = Multimodal.imageBands(hashes)
+    TestSpark.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bcPlan = Multimodal.imageNearDupJoin(banded, 3, NearDupBuild.Broadcast)
+        .queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin"),
+        s"broadcast mode must broadcast the probe side:\n$bcPlan")
+      val shPlan = Multimodal.imageNearDupJoin(banded, 3, NearDupBuild.Shuffle())
+        .queryExecution.executedPlan.toString
+      assert(!shPlan.contains("BroadcastHashJoin") && !shPlan.contains("BroadcastExchange"),
+        s"shuffle mode must not hard-code a broadcast:\n$shPlan")
+    } finally {
+      TestSpark.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    // the cap is load-bearing: a pair needs both members in one cell, and
+    // cap 1 forbids any 2-member cell — so the capped shuffle must return
+    // nothing at all
+    assert(pairs(NearDupBuild.Shuffle(1)).isEmpty)
+  }
+
+  test("audioNearDupPairs build side: both modes pair identically; shuffle stays hint-free") {
+    import graft.operators.Multimodal
+    import Multimodal.NearDupBuild
+    val ids = ((0L until 30L) ++ (250L until 280L)).toSeq
+    val media = Multimodal.wavDupFixture(ids.toDF("doc_id"), "doc_id")
+    val fps = Multimodal.audioFingerprint(media, 8, 4, 32768L, 2)
+    val levels = Multimodal.audioLevels(media, 8, 4, 32768L)
+    def pairs(b: NearDupBuild) = Multimodal.audioNearDupPairs(fps, levels, 2, 1L, b)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    val bc = pairs(NearDupBuild.Broadcast)
+    assert(bc.nonEmpty, "fixture must plant near-dup pairs")
+    assert(pairs(NearDupBuild.Shuffle(Int.MaxValue)) === bc)
+    TestSpark.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bcPlan = Multimodal.audioNearDupCandidates(fps, 2, NearDupBuild.Broadcast)
+        .queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin"),
+        s"broadcast mode must broadcast the probe side:\n$bcPlan")
+      val shPlan = Multimodal.audioNearDupCandidates(fps, 2, NearDupBuild.Shuffle())
+        .queryExecution.executedPlan.toString
+      assert(!shPlan.contains("BroadcastHashJoin") && !shPlan.contains("BroadcastExchange"),
+        s"shuffle mode must not hard-code a broadcast:\n$shPlan")
+    } finally {
+      TestSpark.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }
 
 class BucketingSpec extends AnyFunSuite {
