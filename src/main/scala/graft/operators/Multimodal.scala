@@ -1315,6 +1315,35 @@ object Multimodal {
       levels: DataFrame,
       minBands: Int,
       maxLevelDiff: Long,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame =
+    contourNearDupPairs(fps, levels, minBands, maxLevelDiff, build)
+
+  /** Video near-dup pairs over [[videoFingerprint]] bands and
+    * [[videoLevels]] contours — the audio candidate/verify ladder
+    * transplanted to per-frame luma signatures (two re-encodes of the same
+    * clip share most banded luma cells; the exact contour verify kills
+    * coincidental collisions). Same row contracts, same [[NearDupBuild]]
+    * scale posture.
+    */
+  def videoNearDupPairs(
+      fps: DataFrame,
+      levels: DataFrame,
+      minBands: Int,
+      maxLevelDiff: Long,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame =
+    contourNearDupPairs(fps, levels, minBands, maxLevelDiff, build)
+
+  /** The shared banded-contour near-dup engine behind
+    * [[audioNearDupPairs]] and [[videoNearDupPairs]]: any modality that
+    * reduces a document to an ordered integer-level contour
+    * (doc_id, frame_idx, level) plus banded signatures
+    * (doc_id, band_idx, band_sig) gets the same candidate/verify join.
+    */
+  def contourNearDupPairs(
+      fps: DataFrame,
+      levels: DataFrame,
+      minBands: Int,
+      maxLevelDiff: Long,
       build: NearDupBuild = NearDupBuild.Broadcast): DataFrame = {
     require(minBands > 0 && maxLevelDiff >= 0,
       s"need positive thresholds: $minBands / $maxLevelDiff")
@@ -1533,6 +1562,95 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Per-frame quantized mean-luma levels of a Y4M stream — the video
+    * contour for [[videoNearDupPairs]]'s verify stage, mirroring
+    * [[audioLevels]]. All-integer arithmetic: a frame's level is the
+    * exact Long division chain `(lumaSum / ySize) / qStep`, so the levels
+    * replay bit-for-bit in any engine. Map-only.
+    */
+  def videoLevels(media: DataFrame, qStep: Long): DataFrame = {
+    require(qStep > 0, s"need positive qStep: $qStep")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioLevelSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        decodeY4m(r.getAs[Array[Byte]]("content")) match {
+          case Some((w, h, sums)) =>
+            val ySize = w.toLong * h
+            sums.iterator.zipWithIndex.map { case (s, f) =>
+              Row(id, f, (s / ySize) / qStep)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** Banded per-frame luma fingerprint of a Y4M stream — the
+    * [[audioFingerprint]] contract transplanted to video: `bandFrames`
+    * consecutive quantized luma levels concatenate into one band
+    * signature, computed inside the same flatMap that decodes the stream
+    * (banding in-row, ZERO shuffles — the fingerprint pass is
+    * parquet-scan-bound at 100 TB). Undecodable payloads yield no rows.
+    */
+  def videoFingerprint(media: DataFrame, bandFrames: Int, qStep: Long): DataFrame = {
+    require(bandFrames > 0 && qStep > 0, s"need positive params: $bandFrames / $qStep")
+    val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioFingerprintSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        decodeY4m(r.getAs[Array[Byte]]("content")) match {
+          case Some((w, h, sums)) =>
+            val ySize = w.toLong * h
+            sums.iterator.map(s => (s / ySize) / qStep)
+              .grouped(bandFrames).zipWithIndex
+              .map { case (band, bi) => Row(id, bi, band.mkString("-")) }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** [[y4mFixture]] with PLANTED near-duplicates: geometry and luma keyed
+    * on `id % 250` (so id and id+250 are twin clips), perturbed by a
+    * global +`(id/250)%3` luma shift. Luma bytes are `base % 253 + pert`
+    * — the modulus leaves headroom so the shift never wraps, which keeps
+    * every frame's luma sum EXACTLY `baseSum + pert*ySize` (the property
+    * the near-dup oracle replays).
+    */
+  def y4mDupFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val b = id % 250
+      val pert = ((id / 250) % 3).toInt
+      val w = (4 + 2 * (b % 4)).toInt
+      val h = (2 + 2 * (b % 3)).toInt
+      val nf = (2 + b % 4).toInt
+      val ySize = w * h
+      val cSize = (w / 2) * (h / 2)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+      var f = 0
+      while (f < nf) {
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        var p = 0
+        while (p < ySize) {
+          out.write(((b * 3 + 7 * f + 5 * p) % 253).toInt + pert)
+          p += 1
+        }
+        var c = 0
+        while (c < 2 * cSize) {
+          out.write(((b + 11 * f + 13 * c) % 256).toInt)
+          c += 1
+        }
+        f += 1
+      }
+      (id, out.toByteArray)
+    }.toDF("doc_id", "content")
   }
 
   /** Batched per-partition feature extraction over (doc_id, media_type,

@@ -176,6 +176,29 @@ object CorpusQueries {
                       string_agg(level, '-' ORDER BY frame_idx) AS band_sig
                FROM lv GROUP BY 1, 2)"""
 
+  /** DuckDB replay of [[Multimodal.y4mDupFixture]] + [[Multimodal.videoLevels]]
+    * / [[Multimodal.videoFingerprint]] (qStep 4, 2-frame bands): exact
+    * integer luma sums per frame (the +pert shift adds exactly pert*ysize
+    * because the fixture's %253 modulus leaves wrap-free headroom), the
+    * same Long division chain, ending in `lv` (doc_id, frame_idx, level)
+    * and `bd` (doc_id, band_idx, band_sig) CTEs both video oracles select
+    * from.
+    */
+  private val VideoFpSql = """
+        WITH d AS (SELECT doc_id, doc_id % 250 AS b, (doc_id // 250) % 3 AS pert FROM documents),
+        dim AS (SELECT doc_id, b, pert,
+                     CAST((4 + 2*(b%4)) * (2 + 2*(b%3)) AS BIGINT) AS ysize,
+                     2 + b % 4 AS nf FROM d),
+        fr AS (SELECT doc_id, b, pert, ysize, unnest(range(0, nf)) AS f FROM dim),
+        px AS (SELECT doc_id, b, pert, ysize, f, unnest(range(0, ysize)) AS p FROM fr),
+        sm AS (SELECT doc_id, f, ysize,
+                      CAST(sum((b*3 + 7*f + 5*p) % 253) + pert * ysize AS BIGINT) AS s
+               FROM px GROUP BY doc_id, f, ysize, pert),
+        lv AS (SELECT doc_id, CAST(f AS INT) AS frame_idx, (s // ysize) // 4 AS level FROM sm),
+        bd AS (SELECT doc_id, CAST(frame_idx // 2 AS INT) AS band_idx,
+                      string_agg(level, '-' ORDER BY frame_idx) AS band_sig
+               FROM lv GROUP BY 1, 2)"""
+
   /** DuckDB replay of the link-graph fixture + [[Curation.linkGraph]]'s
     * host normalization: the messy source URLs of [[urlFixture]], the
     * constructed in-page `<a href>` targets (the operator regex-extracts
@@ -1260,6 +1283,51 @@ object CorpusQueries {
           minBands = 2, maxLevelDiff = 1L)
       },
       Some(AudioFpSql + """,
+        cand AS (
+          SELECT a.doc_id AS a_id, c.doc_id AS b_id, CAST(count(*) AS INT) AS n_bands
+          FROM bd a JOIN bd c ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+            AND a.doc_id < c.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nfr AS (SELECT doc_id, count(*) AS nf FROM lv GROUP BY 1),
+        ver AS (
+          SELECT cand.a_id, cand.b_id, cand.n_bands,
+                 CAST(count(*) AS INT) AS n_frames,
+                 CAST(max(abs(la.level - lb.level)) AS BIGINT) AS max_level_diff
+          FROM cand
+          JOIN lv la ON la.doc_id = cand.a_id
+          JOIN lv lb ON lb.doc_id = cand.b_id AND lb.frame_idx = la.frame_idx
+          GROUP BY 1, 2, 3)
+        SELECT ver.* FROM ver
+        JOIN nfr na ON na.doc_id = ver.a_id
+        JOIN nfr nb ON nb.doc_id = ver.b_id
+        WHERE na.nf = nb.nf AND ver.n_frames = na.nf AND ver.max_level_diff <= 1""")),
+
+    // Banded per-frame luma fingerprint over a Y4M fixture with PLANTED
+    // near-duplicate clips (id and id+250 differ by a global luma shift):
+    // the audio fingerprint contract transplanted to video. Quantized
+    // levels are exact Long division chains; banding happens inside the
+    // decode flatMap — map-only, zero shuffles.
+    Q("q_video_fingerprint",
+      (s, dir) => Multimodal.videoFingerprint(
+        Multimodal.y4mDupFixture(t(s, dir, "documents"), "doc_id"),
+        bandFrames = 2, qStep = 4L),
+      Some(VideoFpSql + """
+        SELECT doc_id, band_idx, band_sig FROM bd""")),
+
+    // Video near-dup pairs: banded candidates (>= 2 shared (band_idx,
+    // band_sig) luma cells) VERIFIED exactly against the per-frame
+    // contour — same frame grid, every level within +-1. Completes the
+    // image/audio/video near-dup ladder; candidate-bounded work, never
+    // all-pairs.
+    Q("q_video_neardup_pairs",
+      (s, dir) => {
+        val media = Multimodal.y4mDupFixture(t(s, dir, "documents"), "doc_id")
+        Multimodal.videoNearDupPairs(
+          Multimodal.videoFingerprint(media, bandFrames = 2, qStep = 4L),
+          Multimodal.videoLevels(media, qStep = 4L),
+          minBands = 2, maxLevelDiff = 1L)
+      },
+      Some(VideoFpSql + """,
         cand AS (
           SELECT a.doc_id AS a_id, c.doc_id AS b_id, CAST(count(*) AS INT) AS n_bands
           FROM bd a JOIN bd c ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig

@@ -657,6 +657,61 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.audioNearDupPairs(fps, levels, 0, 1L))
   }
 
+  test("videoFingerprint: bands match a plain-Scala replay; verified pairs equal brute force") {
+    import TestSpark.spark.implicits._
+    val ids = ((0L until 40L) ++ (250L until 290L)).toSeq // planted twin clips
+    val media = Multimodal.y4mDupFixture(ids.toDF("doc_id"), "doc_id")
+    val fps = Multimodal.videoFingerprint(media, bandFrames = 2, qStep = 4L)
+    val levels = Multimodal.videoLevels(media, qStep = 4L)
+    def replayLevels(id: Long): Seq[Long] = {
+      val b = id % 250
+      val pert = ((id / 250) % 3).toInt
+      val w = (4 + 2 * (b % 4)).toInt
+      val h = (2 + 2 * (b % 3)).toInt
+      val nf = (2 + b % 4).toInt
+      val ySize = w * h
+      (0 until nf).map { f =>
+        val sum = (0 until ySize).map(p => ((b * 3 + 7 * f + 5 * p) % 253 + pert).toLong).sum
+        (sum / ySize) / 4L
+      }
+    }
+    def replayBands(id: Long): Seq[(Int, String)] =
+      replayLevels(id).grouped(2).zipWithIndex.map { case (band, bi) =>
+        (bi, band.mkString("-"))
+      }.toSeq
+    val got = fps.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val expect =
+      ids.flatMap(id => replayBands(id).map { case (bi, sig) => (id, bi) -> sig }).toMap
+    assert(got === expect)
+    val gotLv = levels.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotLv ===
+      ids.flatMap(id => replayLevels(id).zipWithIndex.map { case (lv, f) => (id, f) -> lv }).toMap)
+    // verified pairs == brute force: >=2 shared bands AND identical frame
+    // grid AND every level within +-1
+    val pairs = Multimodal.videoNearDupPairs(fps, levels, minBands = 2, maxLevelDiff = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val brute = (for {
+      a <- ids; c <- ids
+      if a < c
+      shared = (replayBands(a).toSet intersect replayBands(c).toSet).size
+      if shared >= 2
+      (va, vc) = (replayLevels(a), replayLevels(c))
+      if va.size == vc.size
+      maxDiff = va.zip(vc).map { case (x, y) => math.abs(x - y) }.max
+      if maxDiff <= 1
+    } yield (a, c, shared, va.size, maxDiff)).toSet
+    assert(pairs === brute)
+    assert(brute.nonEmpty, "planted twin clips must actually pair")
+    // junk payloads yield no rows; both passes are map-only
+    val junk = Seq((1L, "notY4M".getBytes)).toDF("doc_id", "content")
+    assert(Multimodal.videoFingerprint(junk, 2, 4L).count() === 0L)
+    assert(Multimodal.videoLevels(junk, 4L).count() === 0L)
+    val plan = Multimodal.videoFingerprint(media, 2, 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"videoFingerprint must be map-only:\n$plan")
+  }
+
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
     // header-valid but degenerate: 1 x 10M grayscale. y*sh at y>=215 exceeds
     // Int.MaxValue — Int arithmetic would index negatively and throw instead
