@@ -814,15 +814,20 @@ object Multimodal {
       // absurd-dimension guard decodeBmp/decodeWav apply to their headers
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
+      // everything from reader lookup on sits inside the iis-closing try:
+      // the default ImageInputStream is file-cache-backed, so an early
+      // return on junk bytes would otherwise leak a temp file + fd per row
       val img = try {
-        reader.setInput(iis)
-        val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
-        if (dw <= 0 || dh <= 0 || dw.toLong * dh > 64L * 1024 * 1024) return None
-        reader.read(0)
-      } finally { reader.dispose(); iis.close() }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
+          if (dw <= 0 || dh <= 0 || dw.toLong * dh > 64L * 1024 * 1024) return None
+          reader.read(0)
+        } finally reader.dispose()
+      } finally iis.close()
       if (img == null) None
       else {
         val w = img.getWidth

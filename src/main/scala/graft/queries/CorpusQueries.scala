@@ -65,7 +65,14 @@ object CorpusQueries {
     */
   private def urlFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = col("doc_id")
-    val url = concat(
+    t(s, dir, "documents").select(d, urlExpr(d).as("url"))
+  }
+
+  /** The messy-URL expression of [[urlFixture]], factored so composition
+    * queries (q_web_pipeline) attach the same URL to their own page frame.
+    */
+  private def urlExpr(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
       element_at(array(lit("HTTP"), lit("https"), lit("HTTPS")), (d % 3 + 1).cast("int")),
       lit("://"),
       when(d % 11 === 0, lit("user:pass@")).otherwise(lit("")),
@@ -76,8 +83,6 @@ object CorpusQueries {
       lit("?id="), (d % 10).cast("string"), lit("&utm_source=feed"),
       when(d % 5 === 0, lit("&gclid=ZZ")).otherwise(lit("")),
       when(d % 2 === 1, lit("#Section")).otherwise(lit("")))
-    t(s, dir, "documents").select(d, url.as("url"))
-  }
 
   /** DuckDB replay of [[urlFixture]] + [[Curation.urlCanonicalize]]'s
     * regexp chain (RE2-compatible patterns, shared verbatim), ending in a
@@ -1912,6 +1917,170 @@ object CorpusQueries {
                        (CAST(0.85 AS DOUBLE) * coalesce(s3.s, CAST(0.0 AS DOUBLE)))) AS rank
                FROM n LEFT JOIN s3 ON s3.dst = n.node)
         SELECT node AS host, rank FROM r3""")),
+
+    // End-to-end web-curation DAG: htmlExtract -> c4Filter -> urlDedup ->
+    // paragraphDedup -> exactSubstrStrip composed over ONE page fixture
+    // (the urlExpr messy URL + an HTML wrapping of the document's token
+    // chunks: script head, link-dense nav, planted c4-rule lines, a
+    // per-lang shared footer paragraph). One verdict row per stage —
+    // (stage_idx, stage, surviving docs, surviving tokens) — so the gate
+    // proves the crawl operators COMPOSE: every stage consumes the
+    // previous stage's clean_text and the oracle replays the whole
+    // five-stage cascade. Scale shape is the sum of the stages' shapes:
+    // map-only extract + filter, one URL-grain shuffle, one paragraph-hash
+    // shuffle, and the inverted-index gram pass — nothing pairwise.
+    Q("q_web_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val id = col("doc_id")
+        val toks = TextFns.tokens(col("text"))
+        val body = transform(
+          sequence(lit(0), ((size(toks) - lit(1)) / 8).cast("int")),
+          i => concat(
+            array_join(
+              slice(toks, i * 8 + 1, when(i % 5 === 4, lit(3)).otherwise(lit(8))), " "),
+            element_at(array(lit("."), lit("!"), lit("?"), lit("")),
+              ((id + i) % 4 + 1).cast("int"))))
+        def maybe(cond: org.apache.spark.sql.Column, line: String) =
+          when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
+        val lines = concat(body,
+          maybe(id % 6 === 0, "please enable javascript to continue browsing."),
+          maybe(id % 17 === 0, "lorem ipsum dolor sit amet consectetur."),
+          maybe(id % 13 === 0, "function() { return window.token; }"),
+          maybe(id % 19 === 0, "this badword line would otherwise survive."),
+          array(concat(lit("shared footer for "), col("lang"), lit(" readers everywhere."))))
+        val html = concat(
+          lit("<html><head><script>var t = 'x';</script></head><body>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+            "<a href=\"/c\">contact</a></nav>"),
+          array_join(transform(lines, l => concat(lit("<p>"), l, lit("</p>"))), ""),
+          lit("</body></html>"))
+        val pages = docs.select(id, html.as("html"), urlExpr(id).as("url"))
+
+        val ext = Curation.htmlExtract(pages, "doc_id", "html")
+          .select(col("doc_id"), col("clean_text").as("t1"))
+        val c4 = Curation.c4Filter(ext, "doc_id", "t1", blocklist = Seq("badword"))
+        val c4kept = c4.filter(col("keep"))
+          .select(col("doc_id"), col("clean_text").as("t2"))
+        val winners = Curation.urlDedup(
+            c4kept.join(pages.select(id, col("url")), "doc_id"), "doc_id", "url")
+          .select(col("keep_doc_id").as("doc_id"))
+        val s3 = c4kept.join(winners, "doc_id")
+        val s4 = Curation.paragraphDedup(s3, "doc_id", "t2")
+          .select(col("doc_id"), col("clean_text").as("t3"))
+        val s5 = Curation.exactSubstrStrip(s4, "doc_id", "t3", minTokens = 5, minCount = 2)
+          .select(col("doc_id"), col("clean_text").as("t4"))
+
+        def stage(df: org.apache.spark.sql.DataFrame, textCol: String, idx: Int, name: String) =
+          df.select(size(TextFns.tokens(col(textCol))).cast("long").as("__n"))
+            .agg(
+              sum(when(col("__n") > 0, 1L).otherwise(0L)).as("__d"),
+              sum(col("__n")).as("__t"))
+            .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+              coalesce(col("__d"), lit(0L)).as("n_docs"),
+              coalesce(col("__t"), lit(0L)).as("n_tokens"))
+
+        stage(ext, "t1", 1, "html_extract")
+          .unionByName(stage(c4kept, "t2", 2, "c4_filter"))
+          .unionByName(stage(s3, "t2", 3, "url_dedup"))
+          .unionByName(stage(s4, "t3", 4, "paragraph_dedup"))
+          .unionByName(stage(s5, "t4", 5, "exact_substr_strip"))
+      },
+      Some(UrlCanonSql + """
+        , tkl AS (
+          SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        base AS (
+          SELECT doc_id, lang,
+                 [array_to_string(tk[i*8+1 : i*8 + CASE WHEN i % 5 = 4 THEN 3 ELSE 8 END], ' ')
+                    || ['.','!','?',''][CAST((doc_id + i) % 4 AS INT) + 1]
+                  FOR i IN range(0, greatest(len(tk) - 1, 0) // 8 + 1)] AS ls
+          FROM tkl),
+        lns AS (
+          SELECT doc_id,
+                 ls
+                 || CASE WHEN doc_id % 6 = 0 THEN ['please enable javascript to continue browsing.'] ELSE CAST([] AS VARCHAR[]) END
+                 || CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum dolor sit amet consectetur.'] ELSE CAST([] AS VARCHAR[]) END
+                 || CASE WHEN doc_id % 13 = 0 THEN ['function() { return window.token; }'] ELSE CAST([] AS VARCHAR[]) END
+                 || CASE WHEN doc_id % 19 = 0 THEN ['this badword line would otherwise survive.'] ELSE CAST([] AS VARCHAR[]) END
+                 || ['shared footer for ' || lang || ' readers everywhere.'] AS ls
+          FROM base),
+        -- stage 1: htmlExtract — the nav block dies by link density, the
+        -- script head is stripped, and each <p> line becomes a block kept
+        -- iff it carries >= 3 words (fixture paragraphs carry no links)
+        st1d AS (
+          SELECT doc_id,
+                 list_filter(ls, l -> len(list_filter(string_split_regex(l, '\s+'), t -> t <> '')) >= 3) AS l1
+          FROM lns),
+        -- stage 2: C4 line rules + document verdict on the stage-1 text
+        st2l AS (
+          SELECT doc_id,
+                 list_filter(l1, l -> right(l, 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(string_split_regex(l, '\s+'), t -> t <> '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')) AS l2,
+                 array_to_string(l1, chr(10)) AS t1
+          FROM st1d),
+        st2d AS (
+          SELECT doc_id, l2 FROM st2l
+          WHERE len(l2) >= 3 AND NOT contains(lower(t1), 'lorem ipsum')
+            AND NOT contains(t1, '{') AND NOT contains(lower(t1), 'badword')),
+        -- stage 3: URL dedup among C4 survivors (earliest doc per canon URL)
+        w AS (
+          SELECT min(k.doc_id) AS doc_id
+          FROM st2d k JOIN canon c ON c.doc_id = k.doc_id
+          GROUP BY c.canon_url),
+        st3d AS (SELECT k.doc_id, k.l2 FROM st2d k JOIN w ON w.doc_id = k.doc_id),
+        -- stage 4: CCNet paragraph dedup (global first occurrence)
+        paras AS (
+          SELECT doc_id, i - 1 AS pi, l2[i] AS para
+          FROM st3d, UNNEST(range(1, len(l2) + 1)) u(i)),
+        pk AS (
+          SELECT doc_id, pi, para,
+                 row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pi) AS rn
+          FROM paras),
+        -- stage 5: ExactSubstr strip (5-grams occurring >= 2 times)
+        tk3 AS (
+          SELECT doc_id,
+                 flatten(list(list_filter(string_split_regex(para, '\s+'), t -> t <> '') ORDER BY pi)) AS tk
+          FROM pk WHERE rn = 1 GROUP BY doc_id),
+        g3 AS (
+          SELECT doc_id, i - 1 AS pos,
+                 substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16) AS gk
+          FROM tk3, UNNEST(range(1, len(tk) - 3)) u(i)
+          WHERE len(tk) >= 5),
+        dup3 AS (SELECT gk FROM g3 GROUP BY gk HAVING count(*) >= 2),
+        cov3 AS (SELECT DISTINCT doc_id, pos + d AS tpos
+                 FROM g3, UNNEST(range(0, 5)) v(d)
+                 WHERE gk IN (SELECT gk FROM dup3)),
+        k5 AS (
+          SELECT t.doc_id,
+                 CAST(len(t.tk) - coalesce(c.nc, 0) AS BIGINT) AS n_kept
+          FROM tk3 t LEFT JOIN (SELECT doc_id, count(*) AS nc FROM cov3 GROUP BY 1) c
+            ON c.doc_id = t.doc_id)
+        SELECT CAST(1 AS INT) AS stage_idx, 'html_extract' AS stage,
+               CAST(coalesce(sum(CASE WHEN len(l1) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(len(list_filter(string_split_regex(array_to_string(l1, ' '), '\s+'), t -> t <> ''))), 0) AS BIGINT) AS n_tokens
+        FROM st1d
+        UNION ALL
+        SELECT CAST(2 AS INT), 'c4_filter',
+               CAST(coalesce(sum(CASE WHEN len(l2) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(coalesce(sum(len(list_filter(string_split_regex(array_to_string(l2, ' '), '\s+'), t -> t <> ''))), 0) AS BIGINT)
+        FROM st2d
+        UNION ALL
+        SELECT CAST(3 AS INT), 'url_dedup',
+               CAST(coalesce(sum(CASE WHEN len(l2) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(coalesce(sum(len(list_filter(string_split_regex(array_to_string(l2, ' '), '\s+'), t -> t <> ''))), 0) AS BIGINT)
+        FROM st3d
+        UNION ALL
+        SELECT CAST(4 AS INT), 'paragraph_dedup',
+               CAST(coalesce(sum(CASE WHEN len(tk) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(coalesce(sum(len(tk)), 0) AS BIGINT)
+        FROM tk3
+        UNION ALL
+        SELECT CAST(5 AS INT), 'exact_substr_strip',
+               CAST(coalesce(sum(CASE WHEN n_kept > 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(coalesce(sum(n_kept), 0) AS BIGINT)
+        FROM k5""")),
 
     // DSIR-style importance selection (Xie et al. 2302.03169): hashed
     // bigram models of target (lang='en') vs raw, arithmetic-mean smoothed

@@ -703,4 +703,28 @@ class CurationSpec extends AnyFunSuite {
     assert(canonHost === "a.example.com")
     assert(got.keys.map(_._1).toSet === Set("a.example.com"))
   }
+
+  test("q_web_pipeline: five-stage cascade is monotone and every stage bites") {
+    val rows = graft.queries.CorpusQueries.all.find(_.name == "q_web_pipeline").get
+      .fn(TestSpark.spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    assert(rows.map(_._2._1).toSeq ===
+      Seq("html_extract", "c4_filter", "url_dedup", "paragraph_dedup", "exact_substr_strip"))
+    val docs = rows.map(_._2._2)
+    val toks = rows.map(_._2._3)
+    // token mass can only shrink along the pipeline, and never to zero
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, toks.toSeq)
+    assert(toks.last > 0 && docs.last > 0)
+    // doc count shrinks from c4 onward (stage 4/5 rewrite, never drop, docs
+    // — paragraphDedup and exactSubstrStrip emit every input doc, so equality
+    // holds there; c4 and url dedup must genuinely drop at sf0.001)
+    assert(docs(1) < docs(0), s"c4 must drop documents: ${docs.toSeq}")
+    assert(docs(2) < docs(1), s"url dedup must drop documents: ${docs.toSeq}")
+    assert(docs(3) <= docs(2) && docs(4) <= docs(3))
+    // stage 4 and 5 must actually strip tokens (shared footers + repeated
+    // 5-grams exist at sf0.001 by construction)
+    assert(toks(3) < toks(2), s"paragraph dedup must strip: ${toks.toSeq}")
+    assert(toks(4) < toks(3), s"exact-substr must strip: ${toks.toSeq}")
+  }
 }
