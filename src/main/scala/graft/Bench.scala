@@ -61,10 +61,20 @@ object Bench {
       "q_dag_warm" -> (System.nanoTime() - t0) / 1e9
     }
 
+    // A failing query must be visible, never a fake-fast timing: its time is
+    // emitted as a NEGATIVE sentinel and its error lands in BENCH_DETAIL's
+    // "errors" map, so a regression can't masquerade as a speedup.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = dagWarm +: ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn(spark, sfDir)); true } catch {
+        case e: Throwable =>
+          errors(name) = (Option(e.getMessage).getOrElse(e.getClass.getName))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     // The driver records a 2000-char stdout tail, so the JSON line must fit
     // by construction: if the full per-query map would overflow, the
@@ -75,17 +85,21 @@ object Bench {
     // line on stdout.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val total = results.map(_._2).sum
+    // total counts successful queries only; failures are reported separately
+    val total = results.map(_._2).filter(_ > 0).sum
     val sfName = new java.io.File(sfDir).getName
+    val errSuffix =
+      if (errors.isEmpty) "" else s""","errors":${errors.size}"""
     def line(kept: Seq[(String, Double)], otherSum: Double): String = {
       val entries = kept.map { case (k, v) => "\"" + k + "\":" + f2(v) } ++
         (if (otherSum > 0) Seq("\"q_other\":" + f2(otherSum)) else Nil)
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
-        entries.mkString("{", ",", "}")},"sf":"$sfName"}"""
+        entries.mkString("{", ",", "}")},"sf":"$sfName"$errSuffix}"""
     }
     val byTimeDesc = results.sortBy { case (n, v) => (-v, n) }
     val fits = (0 to results.size).iterator
-      .map(n => line(byTimeDesc.take(n).sortBy(_._1), byTimeDesc.drop(n).map(_._2).sum))
+      .map(n => line(byTimeDesc.take(n).sortBy(_._1),
+        byTimeDesc.drop(n).map(_._2).filter(_ > 0).sum))
       .zipWithIndex.toSeq.reverse
       .collectFirst { case (l, _) if l.length <= 1900 => l }
     try {
@@ -99,10 +113,12 @@ object Bench {
       val uptimeSec =
         try scala.io.Source.fromFile("/proc/uptime").mkString.split("\\s+")(0).toDouble
         catch { case _: Throwable => -1.0 }
+      val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
-        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1_start":${f2(load1Start)},"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"queries":$detail}""" + "\n")
+        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1_start":${f2(load1Start)},"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"errors":$errJson,"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
     println(fits.getOrElse(line(Seq.empty, total)))

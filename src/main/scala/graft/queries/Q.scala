@@ -23,7 +23,9 @@ object Q {
     * wall-clock timestamps; SURVEY §7.4.1).
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
+    // Historically events.ts was TIMESTAMP(NANOS) parquet, which Spark only
+    // reads as long; current generations store TIMESTAMP_MICROS (NTZ).
+    // Adapt to whichever type actually arrives rather than assuming one.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = Graft.table(s, dir, name)
     val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
@@ -33,8 +35,15 @@ object Q {
       }
     }
     if (name == "events")
-      // nanos → micros (truncating, same as DuckDB) → naive timestamp
-      ntz.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      ntz.schema("ts").dataType match {
+        // nanos-as-long → micros (truncating, same as DuckDB) → naive timestamp
+        case LongType =>
+          ntz.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        // TIMESTAMP_MICROS parquet: already a timestamp; normalize to NTZ
+        case TimestampNTZType => ntz
+        case TimestampType    => ntz.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other            => sys.error(s"unexpected events.ts type: $other")
+      }
     else ntz
   }
 
