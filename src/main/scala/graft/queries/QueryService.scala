@@ -79,4 +79,30 @@ object QueryService {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
       .limit(limit)
+
+  /** Recent asset prices with optional symbol/type filters (reference
+    * `warehouse_tools.py:216-266`, the `query_asset_prices` tool): a
+    * days-bounded recency scan over a price-observation mart, newest first.
+    * Expects columns (asset_symbol, asset_type, observed_at, price, volume)
+    * plus a unique tiebreak so the top-k selection is deterministic.
+    * Both filters and the date bound push into the scan; the top-k is
+    * TakeOrderedAndProject.
+    */
+  def recentPrices(
+      prices: DataFrame,
+      symbol: Option[String],
+      assetType: Option[String],
+      sinceDays: Int,
+      asOf: Column,
+      limit: Int,
+      tiebreak: Seq[Column]): DataFrame = {
+    val bySymbol = symbol.fold(prices)(sy => prices.filter(col("asset_symbol") === sy))
+    val byType = assetType.fold(bySymbol)(ty => bySymbol.filter(col("asset_type") === ty))
+    byType
+      .filter(to_date(col("observed_at")) >= date_sub(to_date(asOf), sinceDays))
+      .orderBy(col("observed_at").desc +: tiebreak: _*)
+      .limit(limit)
+      .select(col("asset_symbol"), col("asset_type"), col("observed_at"),
+        col("price"), col("volume"))
+  }
 }

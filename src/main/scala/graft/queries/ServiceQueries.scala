@@ -70,6 +70,36 @@ object ServiceQueries {
         FROM customer WHERE lower(c_name) LIKE '%#0000013%'
         ORDER BY c_custkey LIMIT 10""")),
 
+    // Tool 5b: recent asset prices (reference `query_asset_prices`,
+    // warehouse_tools.py:216-266) — days-bounded recency scan over a
+    // price-observation mart (unit price per part observation), symbol
+    // filter pushed to the scan, newest-first top-k. The part dim
+    // broadcasts; the date bound + brand filter prune the fact scan.
+    Q("q_svc_recent_prices",
+      (s, dir) => {
+        val mart = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(
+            col("p_brand").as("asset_symbol"), col("p_type").as("asset_type"),
+            col("l_shipdate").as("observed_at"),
+            (col("l_extendedprice") / col("l_quantity")).as("price"),
+            col("l_quantity").as("volume"),
+            col("l_orderkey"), col("l_linenumber"))
+        QueryService.recentPrices(mart, symbol = Some("Brand#19"),
+          assetType = None, sinceDays = 30,
+          asOf = lit("2001-11-04").cast("date"), limit = 10,
+          tiebreak = Seq(col("l_orderkey"), col("l_linenumber")))
+      },
+      Some("""
+        SELECT p_brand AS asset_symbol, p_type AS asset_type,
+               l_shipdate AS observed_at,
+               (l_extendedprice / l_quantity) AS price,
+               l_quantity AS volume
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#19'
+          AND CAST(l_shipdate AS DATE) >= DATE '2001-11-04' - INTERVAL 30 DAY
+        ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10""")),
+
     // DQ summary: the dbt-test-corpus equivalent — generic + singular
     // checks, one row per check with its violation count. Row-predicate
     // checks sharing a table fuse into ONE conditional-count scan
