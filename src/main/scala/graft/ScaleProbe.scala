@@ -23,6 +23,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outPath = args.lift(2).getOrElse("/root/repo/SCALE_PROBE.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -67,6 +68,9 @@ object ScaleProbe {
     stage("minhash_verified_pairs")(pairs)
     stage("dedup_group_members")(
       ConnectedComponents.dedupGroups(pairs.select(col("a_id"), col("b_id")), "a_id", "b_id"))
+    // rounds-to-convergence is the 100 TB quantity: pointer jumping keeps
+    // it O(log diameter), so it must stay flat as the corpus replicates
+    val ccRounds = ConnectedComponents.lastRounds
 
     // boilerplate + vectorizer (inverted-index aggregates, never pairwise)
     stage("dup_spans_5tok_min3")(Curation.duplicateSpans(docs, "doc_id", "text", 5, 3))
@@ -138,11 +142,19 @@ object ScaleProbe {
       graft.operators.PageRank.run(bigEdges, "src", "dst", iterations = 3))
 
     // exact set-similarity join (prefix-filtered AllPairs). theta=0.9:
-    // with 10 exact copies per doc the pair OUTPUT is quadratic in family
-    // size — a theta=0.8 run measured 297M output rows (recorded in
-    // BUILDER_NOTES as the emit-groups-not-pairs lesson); 0.9 keeps the
-    // stage meaningful without deliberately OOMing the probe JVM
-    stage("setsim_pairs_theta90")(SetSimJoin.jaccardJoin(docs, "doc_id", "text", 90))
+    // with `factor` exact copies per doc the pair OUTPUT — not the
+    // candidate work — is inherently quadratic in family size: every
+    // copy-family clique must emit all C(factor,2) of its pairs, so a
+    // duplicate-saturated corpus emits ~|corpus|·(factor-1)/2 rows no
+    // matter how good the prefix filter is (factor 10 measured 96.7M pairs
+    // / 176 s; theta=0.8 measured 297M). At factor > 20 the probe skips
+    // the stage (rows = -2 sentinel): the operator's contract for such
+    // corpora is emit dedup GROUPS (minhash -> CC), not all pairs — the
+    // all-pairs join is for theta-similarity ANALYSIS on corpora with
+    // bounded family sizes.
+    if (factor <= 20)
+      stage("setsim_pairs_theta90")(SetSimJoin.jaccardJoin(docs, "doc_id", "text", 90))
+    else stages += (("setsim_pairs_theta90_skipped_quadratic_output", -2L, 0.0))
 
     // ANN: k-means -> IVF assign -> cluster-blocked near-dup verify
     val emb = Q.t(spark, sfDir, "embeddings")
@@ -170,6 +182,27 @@ object ScaleProbe {
     stage("semdedup_rows")(sem)
     stage("semdedup_kept")(sem.filter(col("is_kept")))
 
+    // Video/contour near-dup family (round-6 ladder). Fingerprinting is the
+    // true scale path — banding happens inside the decode flatMap, map-only
+    // — so it runs at the FULL factor. The pair stage runs at a bounded
+    // replication (<=10): the y4m fixture derives content from id%250 and
+    // (id/250)%3, so dense replication makes every (base, pert) class an
+    // exact-copy family and pair OUTPUT goes quadratic exactly like setsim
+    // above — groups, not pairs, is the contract there too.
+    import graft.operators.Multimodal
+    val vids = Multimodal.y4mDupFixture(docs.select("doc_id"), "doc_id")
+    stage("video_fingerprint_bands")(
+      Multimodal.videoFingerprint(vids, bandFrames = 2, qStep = 4L))
+    val vFactor = math.min(factor, 10)
+    val vDocs = Q.t(spark, sfDir, "documents")
+      .withColumn("__k", explode(sequence(lit(0), lit(vFactor - 1))))
+      .select((col("doc_id") * vFactor + col("__k")).as("doc_id"))
+    val vMedia = Multimodal.y4mDupFixture(vDocs, "doc_id").persist()
+    stage(s"video_neardup_pairs_f$vFactor")(Multimodal.videoNearDupPairs(
+      Multimodal.videoFingerprint(vMedia, bandFrames = 2, qStep = 4L),
+      Multimodal.videoLevels(vMedia, qStep = 4L),
+      minBands = 2, maxLevelDiff = 1L))
+
     val load1 =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
@@ -178,9 +211,9 @@ object ScaleProbe {
       s"""\"$n\":{\"rows\":$c,\"sec\":${f(s)}}""" }.mkString(",")
     val json =
       s"""{"sf_dir":"$sfDir","factor":$factor,"cpus":$cpus,"load1":${f(load1)},""" +
-        s""""ivf_max_cluster":$maxCluster,"stages":{$body}}"""
+        s""""cc_rounds":$ccRounds,"ivf_max_cluster":$maxCluster,"stages":{$body}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/SCALE_PROBE.json"), json + "\n")
+      java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
     println(json)
   }

@@ -41,6 +41,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Rounds the last `minLabel` call took to converge — probe telemetry
+    * only (ScaleProbe records it as evidence that the round count stays
+    * log-bounded as the corpus scales); not part of the operator contract.
+    */
+  @volatile var lastRounds: Int = -1
+
   /** Component labels at the min-label fixpoint over the undirected edge
     * list `(aCol, bCol)`. Output: (v, label) — one row per distinct
     * vertex; `label` = the minimum id in v's connected component.
@@ -95,6 +101,7 @@ object ConnectedComponents {
       prevSum = nextSum
       round += 1
     }
+    lastRounds = round
     if (!converged) throw new IllegalStateException(
       s"min-label propagation did not converge within $maxRounds rounds " +
         "(component diameter exceeds maxRounds); raise maxRounds or use a " +
