@@ -41,14 +41,22 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = try df.count() catch { case e: Throwable =>
         System.err.println(s"[probe] $name failed: ${e.getClass.getSimpleName}"); -1L }
-      stages += ((name, n, (System.nanoTime() - t0) / 1e9))
+      val sec = (System.nanoTime() - t0) / 1e9
+      stages += ((name, n, sec))
+      System.err.println(f"[probe] $name rows=$n ${sec}%.1fs")
       n
     }
 
+    // repartition AFTER the explode: the sf parquet is one small file (one
+    // input split), so without it the replicated corpus would stay a single
+    // partition and every map-side stage would run on one core — on a real
+    // cluster the corpus arrives in thousands of splits, and the probe must
+    // measure that shape, not a single-split artifact
     val docs = Q.t(spark, sfDir, "documents")
       .withColumn("__k", explode(sequence(lit(0), lit(factor - 1))))
       .select((col("doc_id") * factor + col("__k")).as("doc_id"),
         col("lang"), col("text"))
+      .repartition(cpus.toInt * 4)
       .persist()
     stage("corpus_docs")(docs)
 
@@ -160,6 +168,7 @@ object ScaleProbe {
     val emb = Q.t(spark, sfDir, "embeddings")
       .withColumn("__k", explode(sequence(lit(0), lit(factor - 1))))
       .select((col("vec_id") * factor + col("__k")).as("vec_id"), col("embedding"))
+      .repartition(cpus.toInt * 4)
       .persist()
     stage("embeddings")(emb)
     val k = 64
@@ -197,6 +206,7 @@ object ScaleProbe {
     val vDocs = Q.t(spark, sfDir, "documents")
       .withColumn("__k", explode(sequence(lit(0), lit(vFactor - 1))))
       .select((col("doc_id") * vFactor + col("__k")).as("doc_id"))
+      .repartition(cpus.toInt * 4)
     val vMedia = Multimodal.y4mDupFixture(vDocs, "doc_id").persist()
     stage(s"video_neardup_pairs_f$vFactor")(Multimodal.videoNearDupPairs(
       Multimodal.videoFingerprint(vMedia, bandFrames = 2, qStep = 4L),

@@ -134,15 +134,26 @@ object Similarity {
     * replays the result bit-for-bit.
     */
   def ivfNearDupPairs(embeddings: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, centroidIdCol: String, threshold: Double): DataFrame = {
+      vecCol: String, centroidIdCol: String, threshold: Double,
+      saltBuckets: Int = 32): DataFrame = {
     val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, centroidIdCol)
       .select(col("cluster_id"), col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
+    // The within-cluster self-join keys the shuffle on cluster_id alone, so
+    // one reducer owns each cluster's |c|^2 verify work — the probe measured
+    // the largest factor-100 cluster pinning a single core for >20 min while
+    // 31 idled. Salting splits each cluster's probe side `saltBuckets` ways
+    // and replicates the build side per salt: identical output, per-task
+    // work |c|^2/S, shuffle volume S x build side — the standard trade for
+    // self-join skew (AQE's skew split does not apply: it cannot split one
+    // join key, and verify partitions sit below its size thresholds).
     val a = assigned.select(col("cluster_id"), col("__id").as("a_id"),
       col("__v").as("__va"), col("__n").as("__na"))
+      .withColumn("__salt", pmod(xxhash64(col("a_id")), lit(saltBuckets.toLong)))
     val b = assigned.select(col("cluster_id"), col("__id").as("b_id"),
       col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("cluster_id"))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    a.join(b, Seq("cluster_id", "__salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
         dot(col("__va"), col("__vb")) / nullif(col("__na") * col("__nb"), lit(0.0)))

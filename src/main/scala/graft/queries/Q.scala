@@ -31,7 +31,11 @@ object Q {
     val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case TimestampType => d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
-        case _             => d
+        // a DATE-typed generation would otherwise surface date objects where
+        // every oracle (and every registered query) expects naive midnight
+        // timestamps — same adaptation posture as the events.ts branch below
+        case DateType => d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _        => d
       }
     }
     if (name == "events")

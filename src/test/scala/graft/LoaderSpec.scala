@@ -78,6 +78,20 @@ class LoaderSpec extends AnyFunSuite {
     dir
   }
 
+  test("Q.t normalizes DATE-typed columns to naive midnight timestamps") {
+    val dir = Files.createTempDirectory("graft_loader_date").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "1995-03-15"), (2L, "1996-12-01")).toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), col("d").cast("date").as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val loaded = Q.t(spark, dir, "orders")
+    assert(loaded.schema("o_orderdate").dataType == TimestampNTZType)
+    val shown = loaded.orderBy("o_orderkey").collect()
+      .map(_.getAs[java.time.LocalDateTime]("o_orderdate").toString).toSeq
+    assert(shown == Seq("1995-03-15T00:00", "1996-12-01T00:00"))
+  }
+
   test("Q.t loads TIMESTAMP_MICROS and TIMESTAMP(NANOS) events identically") {
     val us = Q.t(spark, microsFixture(), "events")
     val ns = Q.t(spark, nanosFixture(), "events")
