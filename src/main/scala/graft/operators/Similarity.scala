@@ -83,24 +83,36 @@ object Similarity {
       .select(embeddings.columns.map(col) :+ col("__best.cid").as("cluster_id"): _*)
 
   /** Lloyd's k-means over an embedding column — trains the IVF centroid
-    * table. Deterministic: initialized from the k lowest-id vectors, and
-    * every iteration is a fixed dataflow (assign via broadcast argmin, new
-    * centroid = per-dimension mean computed by posexplode + avg, so the
-    * shuffle carries (cluster, dim) partial sums — k*dims tiny rows).
-    * Empty clusters keep their previous centroid. The per-iteration job is
-    * one pass over the data; centroids stay a k-row DataFrame (broadcast
-    * side) throughout.
+    * table. Deterministic: initialized from the k lowest-id DISTINCT
+    * vectors, and every iteration is a fixed dataflow (assign via broadcast
+    * argmin, new centroid = per-dimension mean computed by posexplode +
+    * avg, so the shuffle carries (cluster, dim) partial sums — k*dims tiny
+    * rows). Empty clusters keep their previous centroid. The per-iteration
+    * job is one pass over the data; centroids stay a k-row DataFrame
+    * (broadcast side) throughout.
+    *
+    * Init dedupes by vector VALUE before taking the k lowest ids: on a
+    * duplicate-heavy corpus (the normal case for a dedup pipeline) the k
+    * lowest ids can all be copies of one vector, which seeds k identical
+    * centroids and collapses the whole clustering into one mega-cluster —
+    * the factor-100 scale probe measured 199,900 of 200,000 vectors in a
+    * single cluster, turning the downstream within-cluster verify into the
+    * all-pairs join IVF exists to avoid. The dedupe is one keyed pass with
+    * map-side partial min, so exact copies collapse before the shuffle.
     */
   def kmeansFit(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    val firstPerVec = embeddings
+      .select(col(idCol).cast("long").as("__id"), toDouble(col(vecCol)).as(vecCol))
+      .groupBy(col(vecCol)).agg(min(col("__id")).as("__id"))
     // constant partition key: the frame is k rows by construction (limit k),
     // so the single-partition window is bounded — the partitionBy silences
     // the global-window plan warning without changing the execution
-    var centroids = embeddings
-      .orderBy(col(idCol)).limit(k)
-      .select(row_number().over(Window.partitionBy(lit(0)).orderBy(col(idCol)))
+    var centroids = firstPerVec
+      .orderBy(col("__id")).limit(k)
+      .select(row_number().over(Window.partitionBy(lit(0)).orderBy(col("__id")))
         .cast("long").as("centroid_id"),
-        toDouble(col(vecCol)).as(vecCol))
+        col(vecCol))
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, "centroid_id")
       val means = assigned
