@@ -37,6 +37,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Contrastive hard-negative mining: for every anchor vector, the top-k
+    * corpus vectors whose cosine lies in `[lo, hi)` — similar enough to be
+    * hard, below the near-duplicate band, the standard negative-selection
+    * step when building contrastive / retrieval training pairs. `hi` < 1
+    * keeps the anchor itself (cosine 1) and its near-dups out.
+    *
+    * Scale shape: the anchor set is a training batch (small by contract) —
+    * it collapses to ONE sorted broadcast array row, so scoring is a
+    * map-only pass over the corpus; the band filter prunes BEFORE the
+    * shuffle (at the corpus's ambient-cosine levels this drops almost
+    * everything); the per-anchor top-k is a row_number window that Spark
+    * plans with WindowGroupLimit on both sides of the exchange, so each map
+    * task forwards at most k rows per anchor. Every number is the
+    * index-order fold — an independent SQL engine replays it bit-for-bit.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, anchorIdCol: String, lo: Double, hi: Double,
+      k: Int): DataFrame = {
+    val aArr = broadcast(anchors
+      .select(struct(col(anchorIdCol).cast("long").as("aid"),
+        toDouble(col(vecCol)).as("av")).as("__a"))
+      .agg(array_sort(collect_list(col("__a"))).as("__as")))
+    val scored = corpus
+      .crossJoin(aArr)
+      .withColumn("__v", toDouble(col(vecCol)))
+      .select(col(idCol), col("__v"), explode(col("__as")).as("__a"))
+      .withColumn("anchor_id", col("__a").getField("aid"))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .withColumn("cosine", cosine(col("__v"), col("__a").getField("av")))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Attach `__best` = struct(d = squared distance, cid) of the nearest
     * centroid to every row — TRULY map-only: the centroid table collapses
     * to ONE sorted array row (k tiny rows → 1), broadcast, and the argmin

@@ -526,6 +526,34 @@ object CorpusQueries {
         FROM v, q
         ORDER BY cosine DESC, vec_id LIMIT 20""")),
 
+    // Contrastive hard-negative mining: per-anchor top-k in the cosine
+    // band [0.2, 0.35) — similar-but-not-duplicate, the negative-selection
+    // step for contrastive/retrieval training pairs. Anchors broadcast;
+    // band filter prunes before the shuffle; per-anchor top-k is
+    // WindowGroupLimit on both sides of the exchange.
+    Q("q_hard_negatives",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.hardNegatives(
+          e, e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "anchor_id"),
+          "vec_id", "embedding", "anchor_id", lo = 0.2, hi = 0.35, k = 10)
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        a AS (SELECT vec_id AS anchor_id, vec AS avec FROM v WHERE vec_id < 5),
+        s AS (
+          SELECT a.anchor_id, v.vec_id,
+                 list_reduce(list_transform(range(1, 65), i -> vec[i] * avec[i]), (x, y) -> x + y)
+                   / nullif(sqrt(list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y))
+                            * sqrt(list_reduce(list_transform(avec, x -> x * x), (x, y) -> x + y)), 0.0) AS cosine
+          FROM v CROSS JOIN a WHERE v.vec_id <> a.anchor_id),
+        r AS (
+          SELECT anchor_id, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+          FROM s WHERE cosine >= 0.2 AND cosine < 0.35)
+        SELECT anchor_id, vec_id, cosine, rank FROM r WHERE rank <= 10""")),
+
     // SemDeDup (Abbas et al. 2303.09540): within-IVF-cluster cosine>=0.4
     // duplicate groups via connected components; keep the member LEAST
     // similar to its cluster centroid (the paper's rule), ties by id.

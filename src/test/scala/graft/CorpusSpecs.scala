@@ -222,6 +222,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.filter($"cosine" < 0.99).count() === 0)
   }
 
+  test("ivfNearDupPairs: salted and unsalted plans emit identical pairs") {
+    // 40 random-ish vectors, one deliberately duplicated family
+    val data = (0 until 40).map { i =>
+      val fam = i % 8
+      (i.toLong, Seq(
+        math.cos(fam).toFloat, math.sin(fam).toFloat, (fam * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = data.filter($"vec_id" < 4)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    def rows(saltBuckets: Int) = Similarity.ivfNearDupPairs(
+      data, centroids, "vec_id", "embedding", "centroid_id",
+      threshold = 0.9, saltBuckets = saltBuckets)
+      .select("cluster_id", "a_id", "b_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    // bit-identical output (same cosine doubles) at 1, 4, and 32 buckets
+    assert(rows(1) === rows(32))
+    assert(rows(4) === rows(32))
+    assert(rows(32).nonEmpty)
+  }
+
+  test("hardNegatives: banded per-anchor top-k, anchors and near-dups excluded") {
+    // axis anchor + graded neighbors: cos = 1 (self/copy), ~0.995, ~0.7, ~0.3, 0
+    val data = Seq(
+      (0L, Seq(1.0f, 0.0f)),        // anchor
+      (1L, Seq(1.0f, 0.0f)),        // exact copy: cos 1 -> excluded by hi
+      (2L, Seq(1.0f, 0.1f)),        // cos ~.995 -> excluded by hi
+      (3L, Seq(1.0f, 1.0f)),        // cos ~.707 -> in band
+      (4L, Seq(1.0f, 3.0f)),        // cos ~.316 -> below lo
+      (5L, Seq(0.0f, 1.0f)),        // cos 0     -> below lo
+      (6L, Seq(1.0f, 1.2f))         // cos ~.64  -> in band
+    ).toDF("vec_id", "embedding")
+    val anchors = data.filter($"vec_id" === 0L)
+      .withColumnRenamed("vec_id", "anchor_id")
+    val got = Similarity.hardNegatives(
+      data, anchors, "vec_id", "embedding", "anchor_id",
+      lo = 0.5, hi = 0.95, k = 10)
+      .select("anchor_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    // rank order = cosine desc: 3 (.707) then 6 (.64)
+    assert(got === Seq((0L, 3L, 1), (0L, 6L, 2)))
+    // k truncates: with k = 1 only the hardest negative survives
+    val top1 = Similarity.hardNegatives(
+      data, anchors, "vec_id", "embedding", "anchor_id", 0.5, 0.95, 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top1 === Seq(3L))
+  }
+
   test("signLshBucket is stable and within [0, 2^nBits)") {
     val b1 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()
     val b2 = vecs.select(Similarity.signLshBucket($"embedding", 3, 4).as("b")).as[Long].collect()
