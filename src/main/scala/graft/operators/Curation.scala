@@ -202,6 +202,44 @@ object Curation {
       .filter(col("temp_bucket") < col("rate_permille"))
   }
 
+  /** Deterministic data-mixing schedule: assign every document a
+    * `schedule_key` such that reading the corpus in key order yields the
+    * caller's target source composition `targetShares` at EVERY prefix —
+    * the training-order step after curation (DoReMi/Pile-style domain
+    * weights applied as an interleave, not a filter). With u = md5-derived
+    * uniform in [0,1), key = (u * n_s) / alpha_s: documents of source s
+    * below horizon t number n_s * (t * alpha_s / n_s) = t * alpha_s, so
+    * composition tracks alpha exactly and independently of native source
+    * sizes; a source exhausts at key n_s / alpha_s, bounding how far the
+    * target mix can be read. Keys are reproducible years later (pure id
+    * hash) and partitioning-stable.
+    *
+    * Shape at scale: one tiny per-source count, the share dim broadcast
+    * back, then a single map-only pass — no corpus-wide shuffle; the
+    * consumer range-partitions on the key when writing the epoch.
+    * Arithmetic is two exact integer-derived doubles and two ordered
+    * divisions — an independent SQL engine replays keys bit-for-bit.
+    */
+  def mixSchedule(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+    val shares = targetShares.toSeq.toDF(sourceCol, "__alpha")
+    val dim = broadcast(counts.join(shares, Seq(sourceCol)))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    docs
+      .join(dim, Seq(sourceCol))
+      .select(col(idCol), col(sourceCol).as("source"),
+        ((u * col("__n").cast("double")) / col("__alpha")).as("schedule_key"))
+  }
+
   /** BM25 retrieval against a fixed query-term set: per-document Okapi BM25
     * score over the matched terms, top `topK` documents. The idf is the
     * log-free Robertson form (n - df + 0.5) / (df + 0.5) — same rationale

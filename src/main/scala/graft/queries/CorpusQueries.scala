@@ -954,6 +954,29 @@ object CorpusQueries {
         FROM b JOIN r USING (lang)
         WHERE b.temp_bucket < r.rate_permille""")),
 
+    // Data-mixing schedule: deterministic proportional interleave toward a
+    // target source composition — reading in schedule_key order yields the
+    // alpha shares at every prefix, independent of native source sizes.
+    // One tiny per-source count + broadcast dim + map-only key pass; the
+    // key arithmetic is two exact integer-derived doubles and two ordered
+    // divisions, replayed bit-for-bit by the oracle.
+    Q("q_mix_schedule",
+      (s, dir) => Curation.mixSchedule(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.1, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.2)),
+      Some("""
+        WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.1), ('es', 0.15), ('de', 0.15), ('fr', 0.2)) AS t(lang, alpha)),
+        b AS (
+          SELECT doc_id, lang,
+                 CAST(CAST(list_reduce(list_transform(range(1, 9),
+                     k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                   (a, x) -> a + x) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+          FROM documents)
+        SELECT b.doc_id, b.lang AS source,
+               ((b.u * CAST(c.n AS DOUBLE)) / w.alpha) AS schedule_key
+        FROM b JOIN c USING (lang) JOIN w USING (lang)""")),
+
     // Okapi BM25 retrieval for a fixed 3-term query, log-free Robertson
     // idf, per-term contributions summed in FIXED query-term order so the
     // double additions sequence identically in both engines. Top-20 by

@@ -34,6 +34,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"sampling should not shuffle:\n$plan")
   }
 
+  test("mixSchedule: prefix composition tracks target shares; corpus side map-only") {
+    val docs = ((0L until 1000L).map(i => (i, "a")) ++
+      (1000L until 1600L).map(i => (i, "b")) ++
+      (1600L until 2000L).map(i => (i, "c"))).toDF("doc_id", "lang")
+    val shares = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val sched = graft.operators.Curation.mixSchedule(docs, "doc_id", "lang", shares)
+    // the corpus pass joins only the broadcast share dim — the one allowed
+    // exchange is the tiny per-source count aggregate
+    val plan = sched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"share dim should broadcast:\n$plan")
+    // reading the first 400 of 2000 in key order: composition ~ alpha for
+    // EVERY source (binomial noise around t*alpha, not native-size shares —
+    // native would be 0.5/0.3/0.2 ONLY by coincidence here, so check the
+    // smallest source, whose native share 0.2 equals alpha but whose
+    // native-prefix count would drift with n_s; tolerance 0.06 absolute)
+    val prefix = sched.orderBy("schedule_key").limit(400)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    shares.foreach { case (src, alpha) =>
+      val got = prefix.getOrElse(src, 0L).toDouble / 400.0
+      assert(math.abs(got - alpha) < 0.06, s"$src: got $got want ~$alpha")
+    }
+    // exhaustion bound: source c runs out at key n_c / alpha_c = 2000
+    val maxC = sched.filter($"source" === "c")
+      .agg(max($"schedule_key")).as[Double].head()
+    assert(maxC <= 400.0 / 0.2)
+  }
+
   test("stratifiedSample: the corpus side never shuffles (broadcast rate dim)") {
     val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
