@@ -194,6 +194,61 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs — MinHash-LSH DECONTAMINATION: find
+    * training documents that fuzzily duplicate evaluation documents (the
+    * near-dup complement of the exact n-gram `Curation.contamination`;
+    * paraphrased or lightly-edited leakage that exact gram containment
+    * misses). Same banding/verify discipline as the self-join form, but the
+    * band-bucket join runs LEFT x RIGHT across the two corpora — candidate
+    * work is bounded by bucket caps per side and output by true cross-dup
+    * mass, never |train| x |eval|. Downstream: `left_anti` the training
+    * corpus on `a_id` to strip the flagged docs.
+    *
+    * Scale note: the eval side is typically tiny (benchmark suites) — its
+    * capped banded frame broadcasts, so the training corpus is touched by
+    * one map-side join plus the verify probes.
+    */
+  def crossCorpusDupPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.7,
+      family: HashFamily = Xx64,
+      bucketCap: Int = 1000): DataFrame = {
+    def bandedOf(df: DataFrame): DataFrame = {
+      val toks = TextFns.tokens(col(textCol))
+      bandedSignatures(df, idCol, TextFns.wordShingles(toks, shingleWords),
+        bands, rowsPerBand, family)
+    }
+    def cap(df: DataFrame): DataFrame = df
+      .withColumn("__bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("__bucket_n") <= bucketCap)
+      .drop("__bucket_n")
+    val cands = cap(bandedOf(left))
+      .select(col("band"), col("band_hash"), col(idCol).as("a_id"))
+      .join(cap(bandedOf(right))
+        .select(col("band"), col("band_hash"), col(idCol).as("b_id")),
+        Seq("band", "band_hash"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val aSets = hashedNgramSets(left, idCol, Seq(), TextFns.tokens(col(textCol)), shingleWords)
+      .select(col(idCol).as("a_id"), col("__set").as("__sa"))
+    val bSets = hashedNgramSets(right, idCol, Seq(), TextFns.tokens(col(textCol)), shingleWords)
+      .select(col(idCol).as("b_id"), col("__set").as("__sb"))
+    cands
+      .join(aSets, Seq("a_id"))
+      .join(bSets, Seq("b_id"))
+      .withColumn("__i", IntersectCardSorted(col("__sa"), col("__sb")))
+      .withColumn("jaccard", jaccardFromInter(col("__i"), size(col("__sa")), size(col("__sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs on a text column. */
   def minhashDupPairs(
       docs: DataFrame,

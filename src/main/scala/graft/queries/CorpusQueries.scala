@@ -455,6 +455,54 @@ object CorpusQueries {
         WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                 / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5""")),
 
+    // Cross-corpus MinHash decontamination: training docs (doc_id < 250)
+    // that fuzzily duplicate eval docs (doc_id >= 250) — the near-dup
+    // complement of exact n-gram q_decontam. Banded candidates joined
+    // LEFT x RIGHT, exact-Jaccard verify; downstream strips a_id by
+    // left_anti. Oracle replays banding and verify across the same split.
+    Q("q_cross_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextDedup.crossCorpusDupPairs(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", shingleWords = 2, bands = 4, rowsPerBand = 3,
+          threshold = 0.5, family = TextDedup.HexMd5)
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) >= 2
+                 THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
+                 ELSE [] END AS s
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
+        bases AS (
+          SELECT doc_id, list_transform(s, x ->
+            CAST(list_reduce(list_transform(range(1, 8),
+                k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1) * 16^(7-k)),
+              (a, b) -> a + b) AS BIGINT)) AS bs
+          FROM sh WHERE len(s) > 0),
+        sig AS (
+          SELECT doc_id, [list_min(list_transform(bs,
+                   b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
+                 FOR h IN range(0, 12)] AS sg
+          FROM bases),
+        banded AS (
+          SELECT doc_id, b,
+                 md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*3+1:b*3+3], '|')) AS bh
+          FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
+          WHERE l.doc_id < 250 AND r.doc_id >= 250)
+        SELECT a_id, b_id,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = a_id
+        JOIN sh sb ON sb.doc_id = b_id
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5""")),
+
     // The Xx64 MinHash family — the 100 TB headline path (one xxhash64 per
     // shingle instead of an md5, ~10x cheaper): same banding/verify
     // pipeline, same output pairs (verification is exact Jaccard either

@@ -43,6 +43,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("crossCorpusDupPairs equals the self-join pairs restricted across the split") {
+    val train = docs.filter($"doc_id" <= 2L)          // 1, 2
+    val eval_ = docs.filter($"doc_id" > 2L)           // 3, 4, 5
+    val cross = TextDedup.crossCorpusDupPairs(train, eval_, "doc_id", "text",
+      shingleWords = 2, bands = 6, rowsPerBand = 2, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val self = TextDedup.minhashDupPairs(docs, "doc_id", "text",
+      shingleWords = 2, bands = 6, rowsPerBand = 2, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 <= 2L && p._2 > 2L)
+    assert(cross === self)
+    assert(cross.contains((1L, 3L)))                  // near dup across the split
+    assert(!cross.exists { case (a, b) => a > 2L })   // a_id always from train
+  }
+
   test("simhash: identical token multisets collide, hamming to others is > 0") {
     val fp = docs.select($"doc_id", TextDedup.simhash32(TextFns.tokens($"text")).as("h"))
       .as[(Long, Long)].collect().toMap
