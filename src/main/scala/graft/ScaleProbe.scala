@@ -213,6 +213,22 @@ object ScaleProbe {
       Multimodal.videoLevels(vMedia, qStep = 4L),
       minBands = 2, maxLevelDiff = 1L))
 
+    // Round-7 operators: mixing schedule must stay map-only-flat at any
+    // factor; hard negatives is anchors x corpus with the band filter
+    // pruning before the shuffle; cross-corpus decontamination treats the
+    // UNREPLICATED base corpus as the eval suite — every eval doc has
+    // ~factor near-copies in the replicated "train" side, so pair output
+    // tracks true cross-dup mass while candidates stay band-bounded.
+    stage("mix_schedule_rows")(Curation.mixSchedule(
+      docs.select(col("doc_id"), col("lang")), "doc_id", "lang",
+      Map("en" -> 0.4, "zh" -> 0.1, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.2)))
+    stage("hard_negative_rows")(Similarity.hardNegatives(
+      emb, emb.filter(col("vec_id") < 16).withColumnRenamed("vec_id", "anchor_id"),
+      "vec_id", "embedding", "anchor_id", lo = 0.2, hi = 0.35, k = 100))
+    stage("cross_neardup_pairs")(TextDedup.crossCorpusDupPairs(
+      docs, Q.t(spark, sfDir, "documents"), "doc_id", "text",
+      shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5))
+
     val load1 =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
