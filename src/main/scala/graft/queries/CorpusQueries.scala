@@ -2028,6 +2028,170 @@ object CorpusQueries {
     // five-stage cascade. Scale shape is the sum of the stages' shapes:
     // map-only extract + filter, one URL-grain shuffle, one paragraph-hash
     // shuffle, and the inverted-index gram pass — nothing pairwise.
+    // Training-side pipeline composition — the model-data counterpart of
+    // q_web_pipeline's crawl cascade: Gopher quality gate -> exact
+    // content-hash dedup -> fuzzy dedup groups (MinHash -> connected
+    // components, canonical member survives) -> cross-corpus MinHash
+    // decontamination against the eval split (doc_id >= 400) -> mixing-
+    // schedule epoch prefix (key <= 40). Each stage reports surviving
+    // (n_docs, n_tokens); the oracle replays the WHOLE cascade, including
+    // the recursive-CTE closure and the banding arithmetic, bit-for-bit.
+    // Shapes are the stages' own: map-only gate, two keyed shuffles,
+    // band-bounded candidate joins, broadcast mix dim — nothing pairwise.
+    Q("q_training_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ntok = size(TextFns.tokens(col("text"))).cast("long")
+        val s1 = docs.join(
+          Curation.gopherSignals(docs, "doc_id", "text")
+            .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        val fp = md5(array_join(array_sort(array_distinct(TextFns.tokens(col("text")))), " "))
+        val keep2 = s1.select(col("doc_id"), fp.as("__fp"))
+          .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val s2 = s1.join(keep2, Seq("doc_id")).persist()
+        val pairs = TextDedup.minhashDupPairs(s2, "doc_id", "text",
+          shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5,
+          family = TextDedup.HexMd5)
+        val dupDrop = ConnectedComponents
+          .dedupGroups(pairs.select(col("a_id"), col("b_id")), "a_id", "b_id")
+          .filter(!col("is_canonical"))
+          .select(col("member_id").as("doc_id"))
+        val s3 = s2.join(dupDrop, Seq("doc_id"), "left_anti")
+        val train = s3.filter(col("doc_id") < 400)
+        val flagged = TextDedup.crossCorpusDupPairs(
+          train, docs.filter(col("doc_id") >= 400), "doc_id", "text",
+          shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5,
+          family = TextDedup.HexMd5)
+          .select(col("a_id").as("doc_id")).distinct()
+        val s4 = train.join(flagged, Seq("doc_id"), "left_anti")
+        val s5 = Curation.mixSchedule(
+            s4.select(col("doc_id"), col("lang")), "doc_id", "lang",
+            Map("en" -> 0.4, "zh" -> 0.1, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.2))
+          .filter(col("schedule_key") <= 40.0)
+          .select("doc_id")
+          .join(docs, Seq("doc_id"))
+        def stage(df: org.apache.spark.sql.DataFrame, idx: Int, name: String) =
+          df.select(ntok.as("__n"))
+            .agg(count(lit(1)).as("__d"), sum(col("__n")).as("__t"))
+            .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+              coalesce(col("__d"), lit(0L)).as("n_docs"),
+              coalesce(col("__t"), lit(0L)).as("n_tokens"))
+        stage(s1, 1, "quality_gate")
+          .unionByName(stage(s2, 2, "exact_dedup"))
+          .unionByName(stage(s3, 3, "fuzzy_dedup"))
+          .unionByName(stage(s4, 4, "decontaminate"))
+          .unionByName(stage(s5, 5, "mix_epoch_prefix"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        gb AS (
+          SELECT doc_id, len(tk) AS n_words,
+                 CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS nb,
+                 CASE WHEN len(tk) >= 2
+                      THEN len(list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]))
+                      ELSE 0 END AS nbd
+          FROM base),
+        gtc AS (
+          SELECT doc_id, tk2 AS tok, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(tk) AS tk2 FROM base) GROUP BY 1, 2),
+        gpd AS (
+          SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+                 CAST(sum(cnt * length(tok)) AS BIGINT) AS char_sum
+          FROM gtc GROUP BY 1),
+        k1 AS (
+          SELECT gb.doc_id FROM gb JOIN gpd USING (doc_id)
+          WHERE gb.n_words >= 20 AND gb.n_words <= 100000
+            AND (CAST(gpd.char_sum AS DOUBLE) / CAST(gb.n_words AS DOUBLE)) >= 2.0
+            AND (CAST(gpd.char_sum AS DOUBLE) / CAST(gb.n_words AS DOUBLE)) <= 12.0
+            AND (CAST(gpd.top_cnt AS DOUBLE) / CAST(gb.n_words AS DOUBLE)) <= 0.2
+            AND gb.nb > 0
+            AND (1.0 - (CAST(gb.nbd AS DOUBLE) / CAST(gb.nb AS DOUBLE))) <= 0.3),
+        k2 AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS f
+                FROM base JOIN k1 USING (doc_id))
+          GROUP BY f),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) >= 2
+                 THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
+                 ELSE [] END AS s
+          FROM base),
+        bss AS (
+          SELECT doc_id, list_transform(s, x ->
+            CAST(list_reduce(list_transform(range(1, 8),
+                k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1) * 16^(7-k)),
+              (a, b) -> a + b) AS BIGINT)) AS bs
+          FROM sh WHERE len(s) > 0),
+        sig AS (
+          SELECT doc_id, [list_min(list_transform(bs,
+                   b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
+                 FOR h IN range(0, 12)] AS sg
+          FROM bss),
+        banded AS (
+          SELECT doc_id, b,
+                 md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*3+1:b*3+3], '|')) AS bh
+          FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        cand23 AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+          WHERE l.doc_id IN (SELECT doc_id FROM k2) AND r.doc_id IN (SELECT doc_id FROM k2)),
+        e AS (
+          SELECT a_id, b_id FROM cand23
+          JOIN sh sa ON sa.doc_id = a_id
+          JOIN sh sb ON sb.doc_id = b_id
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5),
+        und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
+        comp AS (
+          SELECT v, min(r) AS label FROM (
+            WITH RECURSIVE reach(v, r) AS (
+              SELECT x, x FROM und
+              UNION
+              SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
+            ) SELECT v, r FROM reach) GROUP BY v),
+        k3 AS (
+          SELECT doc_id FROM k2
+          WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> label)),
+        trn AS (SELECT doc_id FROM k3 WHERE doc_id < 400),
+        candx AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
+          WHERE l.doc_id IN (SELECT doc_id FROM trn) AND r.doc_id >= 400),
+        flagged AS (
+          SELECT DISTINCT a_id FROM candx
+          JOIN sh sa ON sa.doc_id = a_id
+          JOIN sh sb ON sb.doc_id = b_id
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5),
+        k4 AS (SELECT doc_id FROM trn WHERE doc_id NOT IN (SELECT a_id FROM flagged)),
+        mc AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n
+          FROM base JOIN k4 USING (doc_id) GROUP BY 1),
+        mw AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.1), ('es', 0.15), ('de', 0.15), ('fr', 0.2)) AS t(lang, alpha)),
+        k5 AS (
+          SELECT base.doc_id FROM base
+          JOIN k4 USING (doc_id) JOIN mc USING (lang) JOIN mw USING (lang)
+          WHERE ((CAST(CAST(list_reduce(list_transform(range(1, 9),
+                   k -> (strpos('0123456789abcdef', substr(md5(CAST(base.doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                 (a, x) -> a + x) AS BIGINT) AS DOUBLE) / 4294967296.0
+                 * CAST(mc.n AS DOUBLE)) / mw.alpha) <= 40.0),
+        tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM base)
+        SELECT CAST(1 AS INT) AS stage_idx, 'quality_gate' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM k1 JOIN tok USING (doc_id)
+        UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+        FROM k2 JOIN tok USING (doc_id)
+        UNION ALL SELECT 3, 'fuzzy_dedup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+        FROM k3 JOIN tok USING (doc_id)
+        UNION ALL SELECT 4, 'decontaminate', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+        FROM k4 JOIN tok USING (doc_id)
+        UNION ALL SELECT 5, 'mix_epoch_prefix', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+        FROM k5 JOIN tok USING (doc_id)""")),
+
     Q("q_web_pipeline",
       (s, dir) => {
         val docs = t(s, dir, "documents")
