@@ -2077,11 +2077,17 @@ object CorpusQueries {
             .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
               coalesce(col("__d"), lit(0L)).as("n_docs"),
               coalesce(col("__t"), lit(0L)).as("n_tokens"))
-        stage(s1, 1, "quality_gate")
+        val out = stage(s1, 1, "quality_gate")
           .unionByName(stage(s2, 2, "exact_dedup"))
           .unionByName(stage(s3, 3, "fuzzy_dedup"))
           .unionByName(stage(s4, 4, "decontaminate"))
           .unionByName(stage(s5, 5, "mix_epoch_prefix"))
+          // eager: materialize the 5 summary rows so the s2 cache releases
+          // here instead of leaking storage blocks for the session lifetime
+          // (the winnowMatches lesson)
+          .localCheckpoint()
+        s2.unpersist()
+        out
       },
       Some("""
         WITH base AS (
