@@ -51,27 +51,35 @@ object Bench {
       }
     }
 
-    // the one-time shared-DAG cache fill is timed as its own line instead
-    // of landing on whichever q_dag_* query runs first alphabetically —
-    // per-query numbers then measure the queries, not cache attribution
-    val dagWarm = {
-      val t0 = System.nanoTime()
-      try queries.DagQueries.warmShared(spark, sfDir)
-      catch { case _: Throwable => () }
-      "q_dag_warm" -> (System.nanoTime() - t0) / 1e9
-    }
-
     // A failing query must be visible, never a fake-fast timing: its time is
     // emitted as a NEGATIVE sentinel and its error lands in BENCH_DETAIL's
     // "errors" map, so a regression can't masquerade as a speedup.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // strip quote/backslash AND every control char (RFC 8259 requires all of
+    // U+0000–U+001F escaped — a \b or \f in an exception message must not
+    // invalidate BENCH_DETAIL.json exactly when a query fails)
+    def sanitize(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+
+    // the one-time shared-DAG cache fill is timed as its own line instead
+    // of landing on whichever q_dag_* query runs first alphabetically —
+    // per-query numbers then measure the queries, not cache attribution.
+    // Same ok/negative-sentinel discipline as the per-query loop: a
+    // warmShared crash must not read as a fast success.
+    val dagWarm = {
+      val t0 = System.nanoTime()
+      val ok = try { queries.DagQueries.warmShared(spark, sfDir); true } catch {
+        case e: Throwable => errors("q_dag_warm") = sanitize(e); false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      "q_dag_warm" -> (if (ok) dt else -dt)
+    }
+
     val results = dagWarm +: ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch {
-        case e: Throwable =>
-          errors(name) = (Option(e.getMessage).getOrElse(e.getClass.getName))
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          false
+        case e: Throwable => errors(name) = sanitize(e); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)

@@ -219,12 +219,27 @@ object Curation {
     * consumer range-partitions on the key when writing the epoch.
     * Arithmetic is two exact integer-derived doubles and two ordered
     * divisions — an independent SQL engine replays keys bit-for-bit.
+    *
+    * Contract: `targetShares` IS the epoch's source whitelist — documents
+    * whose source has no entry are dropped (the inner join on the share
+    * dim), which is the intended semantics: a mixing schedule that assigns
+    * weight to a domain not in the recipe has no defined position. Callers
+    * wanting "everything else at weight w" must add those sources
+    * explicitly. Every alpha must be > 0 (validated): alpha = 0 means
+    * "exclude the source", which is expressed by omitting it, not by an
+    * Infinity schedule key.
     */
   def mixSchedule(
       docs: DataFrame,
       idCol: String,
       sourceCol: String,
       targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "mixSchedule needs at least one target share")
+    targetShares.foreach { case (s, a) =>
+      require(a > 0.0 && !a.isInfinity,
+        s"mixSchedule share for source '$s' must be finite and > 0 (got $a); " +
+          "omit the source to exclude it")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = docs

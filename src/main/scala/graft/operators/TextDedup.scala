@@ -104,15 +104,37 @@ object TextDedup {
       .select(col(idCol), col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
   }
 
+  /** Drop every row of a bucket whose population exceeds `bucketCap`.
+    *
+    * Shape matters at 100 TB: a count WINDOW over (band, band_hash) shuffles
+    * EVERY row of a bucket to one task just to count it — a degenerate
+    * bucket (empty shingle, boilerplate band) can be 10⁸–10⁹ rows funneled
+    * through a single reducer, usually only to be dropped. Instead the
+    * bucket census is a keyed aggregate (map-side partial counts — each map
+    * partition contributes ONE row per bucket regardless of population) and
+    * the prune is a `left_anti` join against only the OVER-cap buckets.
+    * That over-cap frame is bounded by #rows/bucketCap and in practice tiny
+    * (degenerate buckets are rare), so AQE broadcasts it and the prune is a
+    * map-only pass over the banded frame — the mega-bucket never lands on
+    * any reducer at all. Same pattern as `Curation.winnowMatches`'s
+    * over-common-fingerprint suppression. Output is identical to the
+    * window formulation.
+    */
+  private[graft] def capBuckets(banded: DataFrame, bucketCap: Int): DataFrame = {
+    val over = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > bucketCap)
+      .select(col("band"), col("band_hash"))
+    banded.join(over, Seq("band", "band_hash"), "left_anti")
+  }
+
   /** LSH candidate pairs (a < b), deduplicated across bands. One shuffle on
-    * (band, band_hash); buckets larger than `bucketCap` are dropped.
+    * (band, band_hash); buckets larger than `bucketCap` are dropped
+    * map-side (see `capBuckets`).
     */
   def candidatePairs(banded: DataFrame, idCol: String, bucketCap: Int = 1000): DataFrame = {
-    val capped = banded
-      .withColumn("__bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("__bucket_n") <= bucketCap)
-      .drop("__bucket_n")
+    val capped = capBuckets(banded, bucketCap)
     val l = capped.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
     val r = capped.select(col("band"), col("band_hash"), col(idCol).as("b_id"))
     l.join(r, Seq("band", "band_hash"))
@@ -224,16 +246,15 @@ object TextDedup {
       bandedSignatures(df, idCol, TextFns.wordShingles(toks, shingleWords),
         bands, rowsPerBand, family)
     }
-    def cap(df: DataFrame): DataFrame = df
-      .withColumn("__bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("__bucket_n") <= bucketCap)
-      .drop("__bucket_n")
-    val cands = cap(bandedOf(left))
+    val cands = capBuckets(bandedOf(left), bucketCap)
       .select(col("band"), col("band_hash"), col(idCol).as("a_id"))
-      .join(cap(bandedOf(right))
+      .join(capBuckets(bandedOf(right), bucketCap)
         .select(col("band"), col("band_hash"), col(idCol).as("b_id")),
         Seq("band", "band_hash"))
+      // guard against overlapping id spaces between the two corpora (or the
+      // same frame passed twice): a doc must never flag itself as its own
+      // contamination — the self-join form's a < b discipline, adapted
+      .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
     val aSets = hashedNgramSets(left, idCol, Seq(), TextFns.tokens(col(textCol)), shingleWords)
