@@ -725,6 +725,50 @@ object DagQueries {
         LEFT JOIN daily p7 ON p7.asset_hk = n.asset_hk AND p7.d = n.news_date + 7
         WHERE p0.daily_price IS NOT NULL""")),
 
+    /** sat_asset_price_crypto.sql:85-90 ⋈ hub_asset.sql:20-25 — the
+      * reference's single-feed-per-asset sat, DETERMINIZED: the kept feed
+      * is the highest-priority feed present for the asset
+      * (BINANCE > COINGECKO > YFINANCE, `Models.feedPriority`) instead of
+      * whichever feed's load landed first. The oracle replays the same
+      * priority pick, so the choice is hash-verified reproducible.
+      */
+    Q("q_dag_sat_crypto_primary",
+      (s, dir) => models(s, dir).satAssetPriceCryptoPrimary.select(
+        col("asset_hk"), col("symbol"), col("record_source"), col("observed_at"),
+        col("price").cast("double").as("price"),
+        col("volume").cast("double").as("volume")),
+      Some(s"""
+        WITH crypto_daily AS (
+          SELECT CASE WHEN l_partkey % 2 = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS symbol,
+                 CAST(l_shipdate AS DATE) AS d,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) AS vol
+          FROM lineitem GROUP BY 1, 2),
+        crypto_all AS (
+          SELECT symbol, d,
+                 CAST(price_sum * CAST(f.factor AS DECIMAL(3,2)) AS DECIMAL(20,8)) AS price,
+                 CAST(vol AS DECIMAL(28,8)) AS volume,
+                 f.src
+          FROM crypto_daily,
+               (SELECT 'binance' AS src, '1.00' AS factor
+                UNION ALL SELECT 'coingecko', '1.01'
+                UNION ALL SELECT 'yfinance', '0.99') f),
+        prim AS (
+          SELECT symbol, src FROM (
+            SELECT symbol, src,
+                   row_number() OVER (PARTITION BY symbol ORDER BY
+                     CASE lower(src) WHEN 'binance' THEN 1 WHEN 'coingecko' THEN 2
+                          WHEN 'yfinance' THEN 3 ELSE 9 END, src) AS rn
+            FROM (SELECT DISTINCT symbol, src FROM crypto_all))
+          WHERE rn = 1)
+        SELECT md5(concat_ws('-', upper(c.symbol), 'CRYPTO')) AS asset_hk,
+               c.symbol, c.src AS record_source,
+               CAST(c.d AS TIMESTAMP) AS observed_at,
+               CAST(c.price AS DOUBLE) AS price,
+               CAST(c.volume AS DOUBLE) AS volume
+        FROM crypto_all c
+        JOIN prim p ON c.symbol = p.symbol AND c.src = p.src""")),
+
     /** dim_customer_history.sql:28-77 — SCD2 version intervals over real
       * multi-load profile history (every 4th customer has a tier upgrade
       * in a later load), lead + 9999-12-31 sentinel, value-exact.

@@ -21,12 +21,17 @@ import graft.operators.{Dedup, EventWindows, Scd2}
   *     is what the joins require.
   *   - `sat_asset_price_*` does NOT replicate the reference's
   *     `asset_source = hub_asset.record_source` join term
-  *     (`sat_asset_price_crypto.sql:82-86`): hub_asset keeps one earliest
-  *     `record_source` per asset (`hub_asset.sql:20-25`), so that term
-  *     silently drops every other feed's prices — with tied load
-  *     timestamps it is even nondeterministic which feed survives. The
+  *     (`sat_asset_price_crypto.sql:82-86`) on the FULL sat: hub_asset
+  *     keeps one earliest `record_source` per asset (`hub_asset.sql:20-25`),
+  *     so that term silently drops every other feed's prices — with tied
+  *     load timestamps it is even nondeterministic which feed survives. The
   *     multi-source comparison mart (`fct_asset_price_comparison.sql`)
-  *     only works when all feeds reach the sat, so this engine keeps them.
+  *     only works when all feeds reach the sat, so this engine keeps them —
+  *     and DETERMINIZES the reference's single-feed semantics as
+  *     `satAssetPriceCryptoPrimary`: the kept feed per asset is the
+  *     highest-priority feed present (`Models.feedPriority` —
+  *     BINANCE > COINGECKO > YFINANCE > others alphabetically), a
+  *     reproducible choice where the reference's is load-order luck.
   */
 object Models {
 
@@ -45,6 +50,18 @@ object Models {
       cryptoPrices: Map[String, DataFrame],
       stockPrices: DataFrame,
       assetInfo: Option[DataFrame] = None)
+
+  /** Deterministic feed-priority rank for the crypto price sources —
+    * BINANCE (1) > COINGECKO (2) > YFINANCE (3) > anything else (9, broken
+    * alphabetically by the caller). Replaces the reference's "whichever
+    * feed loaded first" hub record_source with a reproducible ordering
+    * (`sat_asset_price_crypto.sql:85-90` ⋈ `hub_asset.sql:20-25`).
+    */
+  def feedPriority(src: Column): Column =
+    when(lower(src) === "binance", lit(1))
+      .when(lower(src) === "coingecko", lit(2))
+      .when(lower(src) === "yfinance", lit(3))
+      .otherwise(lit(9))
 
   /** categorize_news macro parity (`macros/categorize_news.sql:1-8`):
     * keyword classification of a news title into the reference's four
@@ -231,6 +248,32 @@ final class Models(val raw: Models.Raw) {
         Hashing.hashdiff(col("symbol"), col("base_currency"), col("quote_currency"),
           col("price"), col("volume")).as("hashdiff")))
       .reduce(_ unionByName _)
+
+  /** One (asset_hk, record_source) row per asset: the DETERMINISTIC
+    * realization of hub_asset's per-asset record_source
+    * (`hub_asset.sql:20-25` keeps the earliest-loaded feed — arbitrary
+    * under tied load timestamps). The kept feed is the highest-priority
+    * feed actually present for the asset (`Models.feedPriority`, ties
+    * broken alphabetically), so reruns and replays always agree.
+    * Tiny dimension (one row per asset) — broadcasts.
+    */
+  lazy val assetPrimaryFeed: DataFrame =
+    satAssetPriceCrypto
+      .groupBy(col("asset_hk"))
+      .agg(min(struct(
+        Models.feedPriority(col("record_source")).as("p"),
+        col("record_source").as("s"))).as("__m"))
+      .select(col("asset_hk"), col("__m.s").as("record_source"))
+
+  /** sat_asset_price_crypto restricted to each asset's primary feed — the
+    * reference's `asset_source = hub_asset.record_source` join term
+    * (`sat_asset_price_crypto.sql:85-90`), determinized via
+    * `assetPrimaryFeed`. Use this where the reference's single-feed sat
+    * semantics are wanted; the full multi-feed sat stays the input for the
+    * comparison mart. Map-only at scale: the primary-feed dim broadcasts.
+    */
+  lazy val satAssetPriceCryptoPrimary: DataFrame =
+    satAssetPriceCrypto.join(broadcast(assetPrimaryFeed), Seq("asset_hk", "record_source"))
 
   /** sat_asset_price_stock.sql:15-103 — hashdiff over the reference's OHLCV
     * attribute set (`:70-78`, minus the columns this feed doesn't carry).
