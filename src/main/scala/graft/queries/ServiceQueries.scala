@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.quality.Checks
-import graft.sources.{CsvSource, Generator, JsonSource}
+import graft.sources.{CsvSource, Generator, JsonSource, KafkaJson}
 import graft.vault.DataVault
 import Q.{dec2, t}
 
@@ -253,6 +253,31 @@ object ServiceQueries {
         FROM read_json('/tmp/graft_jsonl_fixture_{SF}/*.txt',
                        format='newline_delimited', ignore_errors=true,
                        columns={'ck': 'BIGINT', 'bal': 'DOUBLE', 'seg': 'VARCHAR'})""")),
+
+    // S14/S15 — the Kafka wire round-trip in BATCH: encode every events row
+    // into the producer's envelope (key, JSON-string value with isoformat
+    // timestamps, broker ts), then decode through the consumer's shared
+    // from_json path (KafkaJson.decodeValue — the same code the kafka and
+    // file streams run). The oracle is a plain SELECT from events: a hash
+    // match proves encode→decode is the identity, i.e. nothing is lost or
+    // coerced crossing the wire (doubles shortest-round-trip, timestamps
+    // as strings, embedded-JSON props escaped/unescaped).
+    Q("q_kafka_wire_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val wireSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", StringType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val wire = KafkaJson.encodeWire(t(s, dir, "events"), "event_id",
+          lit("2024-01-31 20:00:00").cast("timestamp"))
+          .select(col("key").as("message_key"), col("value"),
+            col("timestamp").as("kafka_timestamp"))
+        KafkaJson.decodeValue(wire, wireSchema)
+          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events")),
 
     // S7 — deterministic distributed synthetic generator (faker parity;
     // no SQL oracle: hash-derived values -> driver rows-only check, with
