@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""check.py with per-query wall time, a per-query timeout, and a JSON
+artifact — for the large-SF gates where a single oracle (e.g. a recursive
+closure over a replicated dup graph) could otherwise stall the whole run.
+
+Usage: python3 tools/check_timed.py <sfdir> <verify_outdir> <artifact.json> [timeout_sec]
+
+Timeouts use SIGALRM around the DuckDB call, so a stuck oracle records
+status=timeout and the gate moves on. Value comparison is identical to
+check.py (exact, NaN-tolerant).
+"""
+import json
+import math
+import signal
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) or pd.isna(b):
+            return False
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+class Timeout(Exception):
+    pass
+
+
+def main():
+    sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(Timeout()))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        t0 = time.time()
+        status, detail = "pass", ""
+        try:
+            signal.alarm(timeout)
+            exp = normalize(con.sql(sql).df())
+            signal.alarm(0)
+            got = normalize(pd.read_parquet(f"{outdir}/{name}"))
+            if sorted(exp.columns) != sorted(got.columns):
+                status, detail = "fail", f"columns exp={sorted(exp.columns)} got={sorted(got.columns)}"
+            elif len(exp) != len(got):
+                status, detail = "fail", f"rows exp={len(exp)} got={len(got)}"
+            else:
+                for c in exp.columns:
+                    ev, gv = exp[c].tolist(), got[c].tolist()
+                    bad = next((i for i, (a, b) in enumerate(zip(ev, gv))
+                                if not values_equal(a, b)), None)
+                    if bad is not None:
+                        status = "fail"
+                        detail = f"value mismatch col={c} row={bad} exp={ev[bad]!r} got={gv[bad]!r}"
+                        break
+        except Timeout:
+            status, detail = "timeout", f"oracle exceeded {timeout}s"
+            # the connection may hold a cancelled query; reopen defensively
+            con = duckdb.connect()
+            for t in TABLES:
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        except Exception as e:
+            signal.alarm(0)
+            status, detail = "error", f"{type(e).__name__}: {e}"
+        sec = round(time.time() - t0, 2)
+        results[name] = {"status": status, "sec": sec,
+                         **({"rows": len(exp)} if status == "pass" else {"detail": detail[:400]})}
+        print(f"{status.upper():7s} {name} ({sec}s)" + ("" if status == "pass" else f": {detail[:200]}"))
+    counts = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    summary = {"sfdir": sfdir, "outdir": outdir, "timeout_sec": timeout,
+               "counts": counts, "n": len(results), "queries": results}
+    with open(artifact, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\n{counts}")
+    sys.exit(0 if counts.get("pass", 0) == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
