@@ -76,7 +76,20 @@ object Bench {
       "q_dag_warm" -> (if (ok) dt else -dt)
     }
 
-    val results = dagWarm +: ordered.map { case (name, fn) =>
+    // same attribution split for the shared dedup-group fill (simhash
+    // pairs -> iterative CC): q_canonical_selection and q_dedup_groups
+    // both read the memoized frame, and the alphabetically-first consumer
+    // was paying the whole iterative fill on its line
+    val groupsWarm = {
+      val t0 = System.nanoTime()
+      val ok = try { queries.CorpusQueries.warmGroups(spark, sfDir); true } catch {
+        case e: Throwable => errors("q_groups_warm") = sanitize(e); false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      "q_groups_warm" -> (if (ok) dt else -dt)
+    }
+
+    val results = dagWarm +: groupsWarm +: ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch {
         case e: Throwable => errors(name) = sanitize(e); false

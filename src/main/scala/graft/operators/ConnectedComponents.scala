@@ -54,7 +54,8 @@ object ConnectedComponents {
     * @throws IllegalStateException if the fixpoint is not reached within
     *         `maxRounds` rounds (component diameter > maxRounds).
     */
-  def minLabel(edges: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
+  def minLabel(edges: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50,
+      jumpsPerRound: Int = 4): DataFrame = {
     // materialize the (possibly expensive) pair-producing pipeline ONCE,
     // BEFORE mirroring: a union of two selects over the raw `edges` plan
     // executes the upstream near-dup join once per branch (the O(block²)
@@ -92,10 +93,19 @@ object ConnectedComponents {
       val stepped = labels.unionByName(viaNeighbor)
         .groupBy(col("v"))
         .agg(min(col("label")).as("label"))
-      // two jumps per round: reach quadruples-ish per iteration while the
-      // per-round cost only gains one tiny |V|-row join — local wall-clock
-      // here is round-count x fixed job latency, so fewer rounds wins
-      labels = jump(jump(stepped)).localCheckpoint()
+      // several jumps per round: each jump composes the pointer with the
+      // EVOLVING label frame, so pointer depth doubles per jump —
+      // ~2^jumpsPerRound reach per round — while costing only one more
+      // |V|-row join inside the same materialization. Rounds are the
+      // expensive unit (a synchronization barrier: checkpoint + convergence
+      // aggregate + scheduler latency locally; a full shuffle stage wave on
+      // a cluster), so trading j cheap intra-round joins for a ~2^j round
+      // reduction wins on chain-shaped components (measured on the sf0.1
+      // simhash graph, 1128-vertex chain component: 8 rounds -> 3 at
+      // jumpsPerRound=4; dense near-dup cliques converge in 2 rounds under
+      // either setting)
+      labels = (1 to jumpsPerRound).foldLeft(stepped)((d, _) => jump(d))
+        .localCheckpoint()
       val nextSum = labelSum(labels)
       converged = round > 0 && nextSum == prevSum
       prevSum = nextSum

@@ -26,7 +26,16 @@ object CorpusQueries {
     * predicate sits inside the join condition so non-matching pairs of the
     * O(block²) loop never materialize as output rows.
     */
-  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  // memoized per (session, dir): q_simhash_pairs and the dedup-group fill
+  // both consume the same fingerprint self-join; one cached materialization
+  // serves both (same pattern as groupsMemo below)
+  private val simhashPairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def simhashPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    simhashPairsMemo.getOrElseUpdate((s, dir), simhashPairsBuild(s, dir).persist())
+
+  private def simhashPairsBuild(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // persist: both self-join sides read one cached materialization of the
     // fingerprint aggregation; the broadcast probe (vs a join shuffled on
     // the language key) keeps O(block²) hamming work spread across every
@@ -56,6 +65,16 @@ object CorpusQueries {
       ConnectedComponents.dedupGroups(
         simhashPairs(s, dir).select(col("a_id"), col("b_id")), "a_id", "b_id")
         .persist())
+
+  /** Force the shared dedup-group materialization (the iterative CC fill
+    * over the simhash pair graph) so Bench can attribute the one-time
+    * shared fill to its own line instead of whichever consumer runs first
+    * alphabetically — same contract as [[DagQueries.warmShared]].
+    */
+  def warmGroups(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    dedupGroupsShared(s, dir).count()
+    ()
+  }
 
   /** Deterministic messy-URL fixture over the documents table: scheme and
     * host case shifts, userinfo, default (:80/:443) and nonstandard

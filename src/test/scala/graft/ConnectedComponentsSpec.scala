@@ -52,7 +52,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   test("maxRounds below the diameter throws instead of under-merging silently") {
-    val chain = (100L until 108L).map(v => (v, v + 1)).toDF("a", "b")
+    // long enough that even 4 jumps/round (pointer depth ~2^4 per round,
+    // compounding across rounds) cannot reach the fixpoint in 2 rounds
+    val chain = (100L until 700L).map(v => (v, v + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
       ConnectedComponents.minLabel(chain, "a", "b", maxRounds = 2).collect()
     }
