@@ -49,6 +49,11 @@ object Bench {
       ordered.foreach { case (_, fn) =>
         try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+      // free the warmup dir's memoized persists (shared DAG cache, simhash
+      // pair/group frames): their cached partitions would otherwise sit in
+      // executor storage through the whole timed run
+      try queries.DagQueries.releaseMemos(spark, warmDir) catch { case _: Throwable => () }
+      try queries.CorpusQueries.releaseMemos(spark, warmDir) catch { case _: Throwable => () }
     }
 
     // A failing query must be visible, never a fake-fast timing: its time is

@@ -232,47 +232,68 @@ object ScaleProbe {
     // Five-stage training cascade (q_training_pipeline's flow) at factor
     // scale: quality gate (map-only) -> exact dedup (keyed min) -> fuzzy
     // dedup (LSH -> CC -> anti-join) -> cross-corpus decontamination
-    // (band join vs the unreplicated eval split) -> mix schedule
-    // (broadcast dim). With `factor` exact copies the exact-dedup stage
-    // collapses each copy family to one survivor, so downstream stages
-    // run at ~sf0.1 volume — the probe quantity is that the EARLY stages
-    // (gate + fingerprint aggregate) stay linear and the cascade total is
-    // dominated by them, not by the post-collapse fuzzy stages.
-    stage("training_cascade_stage_rows") {
-      val s1 = docs.join(
-        Curation.gopherSignals(docs, "doc_id", "text")
-          .filter(col("keep")).select("doc_id"), Seq("doc_id"))
-      val fpc = md5(array_join(array_sort(array_distinct(TextFns.tokens(col("text")))), " "))
-      val keep2 = s1.select(col("doc_id"), fpc.as("__fp"))
-        .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val s2 = s1.join(keep2, Seq("doc_id")).persist()
-      val tpairs = TextDedup.minhashDupPairs(s2, "doc_id", "text",
-        shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5)
-      val dupDrop = ConnectedComponents
-        .dedupGroups(tpairs.select(col("a_id"), col("b_id")), "a_id", "b_id")
-        .filter(!col("is_canonical"))
-        .select(col("member_id").as("doc_id"))
-      val s3 = s2.join(dupDrop, Seq("doc_id"), "left_anti")
-      val evalCut = lit(400L * factor)
-      val train = s3.filter(col("doc_id") < evalCut)
-      val flagged = TextDedup.crossCorpusDupPairs(
-        train, docs.filter(col("doc_id") >= evalCut), "doc_id", "text",
-        shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5)
-        .select(col("a_id").as("doc_id")).distinct()
-      val s4 = train.join(flagged, Seq("doc_id"), "left_anti")
-      val s5 = Curation.mixSchedule(
-          s4.select(col("doc_id"), col("lang")), "doc_id", "lang",
-          Map("en" -> 0.4, "zh" -> 0.1, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.2))
-        .filter(col("schedule_key") <= 40.0)
-      def cnt(df: DataFrame, n: String) =
-        df.agg(count(lit(1)).as("n")).select(lit(n).as("stage"), col("n"))
-      val out = cnt(s1, "quality_gate").unionByName(cnt(s2, "exact_dedup"))
-        .unionByName(cnt(s3, "fuzzy_dedup")).unionByName(cnt(s4, "decontaminate"))
-        .unionByName(cnt(s5, "mix_epoch_prefix"))
-        .localCheckpoint()
-      s2.unpersist()
-      out
+    // (band join vs the UNREPLICATED eval split, ids offset into a
+    // disjoint space so the operator's a_id =!= b_id self-pair guard can
+    // never falsely drop a true cross-dup) -> mix schedule (broadcast
+    // dim). With `factor` exact copies the exact-dedup stage collapses
+    // each copy family to one survivor, so downstream stages run at
+    // ~sf0.1 volume — the probe quantity is that the EARLY stages (gate +
+    // fingerprint aggregate) stay linear and the cascade total is
+    // dominated by them, not by the post-collapse fuzzy stages. Each
+    // cascade step's survivor count lands as its own stages entry
+    // (sec=0.0 annotation rows); the wall clock for the whole cascade is
+    // the `training_cascade_total` entry.
+    {
+      val t0 = System.nanoTime()
+      val perStage: Seq[(String, Long)] = try {
+        val s1 = docs.join(
+          Curation.gopherSignals(docs, "doc_id", "text")
+            .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        val fpc = md5(array_join(array_sort(array_distinct(TextFns.tokens(col("text")))), " "))
+        val keep2 = s1.select(col("doc_id"), fpc.as("__fp"))
+          .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val s2 = s1.join(keep2, Seq("doc_id")).persist()
+        val tpairs = TextDedup.minhashDupPairs(s2, "doc_id", "text",
+          shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5)
+        val dupDrop = ConnectedComponents
+          .dedupGroups(tpairs.select(col("a_id"), col("b_id")), "a_id", "b_id")
+          .filter(!col("is_canonical"))
+          .select(col("member_id").as("doc_id"))
+        val s3 = s2.join(dupDrop, Seq("doc_id"), "left_anti")
+        val evalCut = lit(400L * factor)
+        val train = s3.filter(col("doc_id") < evalCut)
+        val evalDocs = Q.t(spark, sfDir, "documents")
+          .filter(col("doc_id") >= 400)
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
+        val flagged = TextDedup.crossCorpusDupPairs(
+          train, evalDocs, "doc_id", "text",
+          shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          .select(col("a_id").as("doc_id")).distinct()
+        val s4 = train.join(flagged, Seq("doc_id"), "left_anti")
+        val s5 = Curation.mixSchedule(
+            s4.select(col("doc_id"), col("lang")), "doc_id", "lang",
+            Map("en" -> 0.4, "zh" -> 0.1, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.2))
+          .filter(col("schedule_key") <= 40.0)
+        def cnt(df: DataFrame, n: String) =
+          df.agg(count(lit(1)).as("n")).select(lit(n).as("stage"), col("n"))
+        val out = cnt(s1, "quality_gate").unionByName(cnt(s2, "exact_dedup"))
+          .unionByName(cnt(s3, "fuzzy_dedup")).unionByName(cnt(s4, "decontaminate"))
+          .unionByName(cnt(s5, "mix_epoch_prefix"))
+          .collect().toIndexedSeq.map(r => (r.getString(0), r.getLong(1)))
+        s2.unpersist()
+        out
+      } catch { case e: Throwable =>
+        System.err.println(s"[probe] training_cascade failed: ${e.getClass.getSimpleName}")
+        Seq(("failed", -1L))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      perStage.foreach { case (n, c) =>
+        stages += ((s"training_cascade_$n", c, 0.0))
+        System.err.println(s"[probe] training_cascade_$n rows=$c")
+      }
+      stages += (("training_cascade_total", perStage.lastOption.map(_._2).getOrElse(-1L), sec))
+      System.err.println(f"[probe] training_cascade_total ${sec}%.1fs")
     }
 
     val load1 =

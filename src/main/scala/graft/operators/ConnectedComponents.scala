@@ -47,6 +47,30 @@ object ConnectedComponents {
     */
   @volatile var lastRounds: Int = -1
 
+  /** The persisted RDDs a frame's physical plan is rooted on (public-API
+    * dependency walk from `queryExecution.toRdd`): for a checkpointed
+    * frame, exactly its checkpoint RDD. Used to free checkpoint storage —
+    * `Dataset.unpersist` only releases CacheManager caches, never the
+    * RDD blocks a `localCheckpoint` pinned.
+    */
+  private def pinnedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+      (if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Seq(r)
+       else Seq.empty) ++ r.dependencies.flatMap(d => walk(d.rdd))
+    walk(df.queryExecution.toRdd).distinct
+  }
+
+  /** Release the checkpoint blocks backing a frame returned by
+    * [[minLabel]]/[[dedupGroups]]. The frame is NOT recomputable afterwards
+    * (checkpointing truncated its lineage) — callers must be completely
+    * done with it. This is the teardown half of the result's storage
+    * contract: the loop's INTERMEDIATE checkpoints are freed eagerly as
+    * rounds advance, but the final label frame's checkpoint IS the result
+    * data and has to outlive the call.
+    */
+  def releaseResult(df: DataFrame): Unit =
+    pinnedRdds(df).foreach(_.unpersist(blocking = true))
+
   /** Component labels at the min-label fixpoint over the undirected edge
     * list `(aCol, bCol)`. Output: (v, label) — one row per distinct
     * vertex; `label` = the minimum id in v's connected component.
@@ -86,6 +110,12 @@ object ConnectedComponents {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var round = 0
+    // the previous round's checkpoint blocks: freed as soon as the next
+    // round's checkpoint has materialized (localCheckpoint is eager), so at
+    // any moment at most TWO |V|-row label frames are pinned instead of one
+    // per round — on a 100 TB corpus the label frame is billions of rows,
+    // and an un-freed checkpoint per round is a real storage leak
+    var prevPinned: Seq[org.apache.spark.rdd.RDD[_]] = pinnedRdds(labels)
     while (!converged && round < maxRounds) {
       val viaNeighbor = und
         .join(labels, col("y") === col("v"))
@@ -106,11 +136,16 @@ object ConnectedComponents {
       // either setting)
       labels = (1 to jumpsPerRound).foldLeft(stepped)((d, _) => jump(d))
         .localCheckpoint()
+      prevPinned.foreach(_.unpersist(blocking = false))
+      prevPinned = pinnedRdds(labels)
       val nextSum = labelSum(labels)
       converged = round > 0 && nextSum == prevSum
       prevSum = nextSum
       round += 1
     }
+    // the mirrored edge list is only read inside the loop; its checkpoint
+    // (|E| rows — the big one) is dead weight once the labels converged
+    pinnedRdds(e).foreach(_.unpersist(blocking = false))
     lastRounds = round
     if (!converged) throw new IllegalStateException(
       s"min-label propagation did not converge within $maxRounds rounds " +

@@ -35,14 +35,20 @@ object CorpusQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     simhashPairsMemo.getOrElseUpdate((s, dir), simhashPairsBuild(s, dir).persist())
 
+  // the intermediate fingerprint persist of simhashPairsBuild, tracked so
+  // releaseMemos can free it along with the pair frame it fed
+  private val simhashFpMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private def simhashPairsBuild(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // persist: both self-join sides read one cached materialization of the
     // fingerprint aggregation; the broadcast probe (vs a join shuffled on
     // the language key) keeps O(block²) hamming work spread across every
     // cache partition instead of one task per language
-    val fp = TextDedup.simhashFingerprints(
-      t(s, dir, "documents"), "doc_id", Seq("lang"), TextFns.tokens(col("text")))
-      .persist()
+    val fp = simhashFpMemo.getOrElseUpdate((s, dir),
+      TextDedup.simhashFingerprints(
+        t(s, dir, "documents"), "doc_id", Seq("lang"), TextFns.tokens(col("text")))
+        .persist())
     val a = fp.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("__ha"))
     val b = fp.select(col("lang").as("lang2"), col("doc_id").as("b_id"), col("simhash").as("__hb"))
     a.join(broadcast(b),
@@ -74,6 +80,29 @@ object CorpusQueries {
   def warmGroups(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     dedupGroupsShared(s, dir).count()
     ()
+  }
+
+  /** Release every memoized persisted frame for (session, dir): the simhash
+    * fingerprint + pair frames and the converged dedup-group frame. The
+    * memos exist so one process computes each shared materialization once;
+    * in a long-lived session (QueryService) the storage they pin must be
+    * reclaimable once a corpus is done with — and Bench calls this after
+    * its warmup pass so sf0.001 cache partitions don't sit in executor
+    * storage during the timed run. `blocking = true` so a following
+    * measurement (spec or bench) observes storage actually returned.
+    */
+  def releaseMemos(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // the groups frame is backed by the CC loop's final localCheckpoint in
+    // addition to its own cache mark; unpersist releases only the latter,
+    // so the checkpoint blocks need their own release (after which the
+    // frame is gone for good — which is the point: it left the memo)
+    groupsMemo.remove((s, dir)).foreach { g =>
+      g.unpersist(blocking = true)
+      ConnectedComponents.releaseResult(g)
+    }
+    Seq(simhashPairsMemo, simhashFpMemo).foreach { m =>
+      m.remove((s, dir)).foreach(_.unpersist(blocking = true))
+    }
   }
 
   /** Deterministic messy-URL fixture over the documents table: scheme and

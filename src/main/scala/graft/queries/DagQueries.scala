@@ -42,6 +42,15 @@ object DagQueries {
   private def tier3(c: org.apache.spark.sql.Column) =
     when(c === 0, "CONSERVATIVE").when(c === 1, "MODERATE").otherwise("AGGRESSIVE")
 
+  // raw-mapping persists (transactions, cryptoDaily) tracked per
+  // (session, dir) so releaseMemos frees them along with the vault cache
+  private val rawPinned = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), List[DataFrame]]
+  private def pin(s: SparkSession, dir: String)(df: DataFrame): DataFrame = {
+    rawPinned.updateWith((s, dir))(old => Some(df :: old.getOrElse(Nil)))
+    df.persist()
+  }
+
   /** Map the driver testdata into the reference's raw shapes (exact,
     * DuckDB-replayable derivations only).
     */
@@ -152,7 +161,7 @@ object DagQueries {
       lit("BATCH_DATA").as("data_source"),
       loadTs.as("load_timestamp"),
       lit("BATCH_DATA").as("source"))
-      .persist()
+    pin(s, dir)(transactions)
 
     // news from part, duplicated with a later load_timestamp so the
     // ephemeral_news earliest-wins dedup is exercised (and verified)
@@ -189,7 +198,7 @@ object DagQueries {
       .agg(
         sum(dec2(col("l_extendedprice"))).as("__sum"),
         sum(dec2(col("l_quantity"))).as("__vol"))
-      .persist()
+    pin(s, dir)(cryptoDaily)
     def cryptoFeed(src: String, factor: String): DataFrame =
       cryptoDaily
         .select(
@@ -250,6 +259,17 @@ object DagQueries {
     */
   def warmShared(s: SparkSession, dir: String): Unit =
     models(s, dir).materializeShared()
+
+  /** Drop the memoized Models instance for (session, dir) and unpersist its
+    * shared vault cache — the release half of the memo contract (Bench
+    * frees the warmup dir's cache before the timed run; a long-lived
+    * QueryService frees a corpus it is done with).
+    */
+  def releaseMemos(s: SparkSession, dir: String): Unit = {
+    memo.remove((s, dir)).foreach(_.unpersistShared())
+    rawPinned.remove((s, dir))
+      .foreach(_.foreach(_.unpersist(blocking = true)))
+  }
 
   // ------------------------------------------------------------------ SQL
 

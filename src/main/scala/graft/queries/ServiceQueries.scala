@@ -279,6 +279,48 @@ object ServiceQueries {
       },
       Some("SELECT event_id, ts, user_id, event_type, value, props FROM events")),
 
+    // S14/S15 — the full consumer pipeline's BATCH-VISIBLE END STATE over
+    // the file-wire transport: two producer drops (the second redelivers
+    // every third≡1 record verbatim — at-least-once) → fileStream (decode
+    // shared with the kafka source) → IncrementalIngest idempotent
+    // partitioned sink → read the target table back. The oracle is a plain
+    // SELECT from events: a hash match proves each record landed EXACTLY
+    // once with every column byte-identical after the wire + sink chain.
+    // Each invocation replays from scratch (fresh drops/checkpoint/target).
+    Q("q_kafka_file_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val wireSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", StringType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val base = s"/tmp/graft_kafka_ingest_${new java.io.File(dir).getName}"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+        val (topicDir, targetDir, ckptDir) =
+          (s"$base/topic", s"$base/target", s"$base/ckpt")
+        val events = t(s, dir, "events")
+        val third = pmod(col("event_id"), lit(3))
+        val brokerTs = lit("2024-01-31 20:00:00").cast("timestamp")
+        // coalesce(1): one wire file per drop, so maxFilesPerTrigger=1
+        // makes each drop one micro-batch (the broker poll boundary)
+        KafkaJson.writeFileDrop(
+          events.filter(third < 2).coalesce(1), topicDir, "event_id", brokerTs)
+        KafkaJson.writeFileDrop(
+          events.filter(third >= 1).coalesce(1), topicDir, "event_id", brokerTs)
+        val stream = graft.sources.KafkaJson.fileStream(s, topicDir, wireSchema)
+          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+        graft.streaming.IncrementalIngest.startIngest(
+          stream, targetDir, ckptDir, keys = Seq("event_id"),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          tsCol = Some("ts"))
+          .awaitTermination()
+        s.read.parquet(targetDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events")),
+
     // S7 — deterministic distributed synthetic generator (faker parity;
     // no SQL oracle: hash-derived values -> driver rows-only check, with
     // distribution invariants enforced in GeneratorSpec)

@@ -544,4 +544,16 @@ final class Models(val raw: Models.Raw) {
       satAssetPriceStock, fctTransactions).foreach(_.count())
     this
   }
+
+  /** Release the shared cache marked by [[persistShared]] — the teardown
+    * half of the memoization contract, for long-lived sessions that are
+    * done with this corpus. Blocking so callers can observe storage
+    * actually returned before their next measurement.
+    */
+  def unpersistShared(): this.type = {
+    Seq(hubCustomer, hubCompany, hubTransaction, hubAsset, ephemeralNews,
+      satNewsContent, ephemeralSatTransactionFull, satAssetPriceCrypto,
+      satAssetPriceStock, fctTransactions).foreach(_.unpersist(blocking = true))
+    this
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CorpusQueries, DagQueries}
+
+/** The release half of the memoization contract: warmGroups/warmShared pin
+  * persisted frames per (session, dir) so one process computes each shared
+  * materialization once; releaseMemos must return that storage — in a
+  * long-lived QueryService session the memo would otherwise be a storage
+  * leak, and Bench frees the warmup dir's memos before its timed run.
+  */
+class MemoReleaseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("CorpusQueries.releaseMemos returns the group-fill storage to baseline") {
+    CorpusQueries.releaseMemos(spark, dir) // reset in case another suite warmed
+    val baseline = cachedRdds
+    CorpusQueries.warmGroups(spark, dir)
+    assert(cachedRdds > baseline,
+      "warmGroups must pin persisted frames (fingerprints, pairs, groups)")
+    CorpusQueries.releaseMemos(spark, dir)
+    assert(cachedRdds == baseline,
+      "releaseMemos must unpersist every frame warmGroups pinned")
+    // idempotent: releasing an already-released dir is a no-op
+    CorpusQueries.releaseMemos(spark, dir)
+    assert(cachedRdds == baseline)
+  }
+
+  test("warmGroups after release rebuilds the memo (release is not a poison)") {
+    CorpusQueries.releaseMemos(spark, dir)
+    CorpusQueries.warmGroups(spark, dir)
+    val warmed = cachedRdds
+    assert(warmed > 0)
+    // a second warm is a cache hit, not a second pin
+    CorpusQueries.warmGroups(spark, dir)
+    assert(cachedRdds == warmed)
+    CorpusQueries.releaseMemos(spark, dir)
+  }
+
+  test("DagQueries.releaseMemos returns the shared vault cache to baseline") {
+    DagQueries.releaseMemos(spark, dir)
+    val baseline = cachedRdds
+    DagQueries.warmShared(spark, dir)
+    assert(cachedRdds > baseline,
+      "warmShared must pin the shared hub/sat frames")
+    DagQueries.releaseMemos(spark, dir)
+    assert(cachedRdds == baseline,
+      "releaseMemos must unpersist the whole shared vault cache")
+  }
+}

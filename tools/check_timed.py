@@ -5,14 +5,19 @@ closure over a replicated dup graph) could otherwise stall the whole run.
 
 Usage: python3 tools/check_timed.py <sfdir> <verify_outdir> <artifact.json> [timeout_sec]
 
-Timeouts use SIGALRM around the DuckDB call, so a stuck oracle records
-status=timeout and the gate moves on. Value comparison is identical to
-check.py (exact, NaN-tolerant).
+Timeouts use a watchdog thread that calls `con.interrupt()` at the
+deadline — DuckDB checks for interrupts inside native execution, unlike
+SIGALRM which Python only observes between DuckDB calls — with SIGALRM
+kept as a backstop for a hang in the Python layer itself. A stuck oracle
+records status=timeout and the gate moves on (old connection closed, a
+fresh one opened). Value comparison is identical to check.py (exact,
+NaN-tolerant).
 """
 import json
 import math
 import signal
 import sys
+import threading
 import time
 
 import duckdb
@@ -52,12 +57,49 @@ class Timeout(Exception):
     pass
 
 
-def main():
-    sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
-    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+def connect(sfdir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
+
+def run_with_deadline(con, sql, timeout):
+    """Execute `sql`, interrupting the native DuckDB task at the deadline.
+
+    The watchdog fires con.interrupt() (honored inside native execution);
+    SIGALRM at timeout+30s backstops a hang in the Python layer. Returns
+    the result df; raises Timeout if the watchdog fired."""
+    fired = threading.Event()
+
+    def watchdog():
+        fired.set()
+        try:
+            con.interrupt()
+        except Exception:
+            pass
+
+    timer = threading.Timer(timeout, watchdog)
+    timer.start()
+    signal.alarm(timeout + 30)
+    try:
+        df = con.sql(sql).df()
+    except Exception:
+        if fired.is_set():
+            raise Timeout()
+        raise
+    finally:
+        timer.cancel()
+        signal.alarm(0)
+    if fired.is_set():
+        raise Timeout()
+    return df
+
+
+def main():
+    sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    con = connect(sfdir)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(Timeout()))
     results = {}
@@ -65,9 +107,7 @@ def main():
         t0 = time.time()
         status, detail = "pass", ""
         try:
-            signal.alarm(timeout)
-            exp = normalize(con.sql(sql).df())
-            signal.alarm(0)
+            exp = normalize(run_with_deadline(con, sql, timeout))
             got = normalize(pd.read_parquet(f"{outdir}/{name}"))
             if sorted(exp.columns) != sorted(got.columns):
                 status, detail = "fail", f"columns exp={sorted(exp.columns)} got={sorted(got.columns)}"
@@ -84,12 +124,13 @@ def main():
                         break
         except Timeout:
             status, detail = "timeout", f"oracle exceeded {timeout}s"
-            # the connection may hold a cancelled query; reopen defensively
-            con = duckdb.connect()
-            for t in TABLES:
-                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+            # the connection holds an interrupted query; close it and reopen
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sfdir)
         except Exception as e:
-            signal.alarm(0)
             status, detail = "error", f"{type(e).__name__}: {e}"
         sec = round(time.time() - t0, 2)
         results[name] = {"status": status, "sec": sec,
