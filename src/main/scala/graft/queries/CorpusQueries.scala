@@ -326,23 +326,70 @@ object CorpusQueries {
   /** The q_simhash_pairs oracle CTE chain, reused as the edge list of the
     * dedup-group oracle.
     */
+  // Fingerprints are computed once per DISTINCT (lang, text) and expanded
+  // to doc grain (identical text => identical token multiset => identical
+  // simhash — lossless): on the duplicate-saturated sf1 gate corpus the
+  // doc-grain replay evaluates 32 md5 probes per token INSTANCE and
+  // stalls, while the distinct-grain replay is the unreplicated cost.
   private val SimhashEdgesSql = """
-        WITH toks AS (
-          SELECT doc_id, lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents),
+        WITH dfam AS (
+          SELECT lang, text, min(doc_id) AS dgid, list(doc_id) AS dmembers
+          FROM documents GROUP BY 1, 2),
+        toks AS (
+          SELECT dgid, lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM dfam),
         bits AS (
-          SELECT doc_id, lang, j,
+          SELECT dgid, lang, j,
                  sum(((CAST(floor((strpos('0123456789abcdef', substr(md5(tk), 1 + (j // 4), 1)) - 1)
                                   / 2^(3 - (j % 4))) AS INT) % 2) * 2 - 1)) AS s
           FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
           GROUP BY 1, 2, 3),
-        fp AS (
-          SELECT doc_id, lang,
+        fpd AS (
+          SELECT dgid, lang,
                  CAST(sum(CASE WHEN s >= 0 THEN CAST(2^j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY 1, 2),
+        fp AS (
+          SELECT dmem.doc_id, f.lang, f.simhash
+          FROM (SELECT dgid, unnest(dmembers) AS doc_id FROM dfam) dmem
+          JOIN fpd f USING (dgid)),
         e AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id
           FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)"""
+
+  /** The component labeling (`comp`: v, label) over the simhash graph at
+    * FAMILY grain: docs with identical (lang, simhash) are a clique (all
+    * pairwise hamming 0), so the recursive-CTE closure runs over distinct
+    * fingerprints and member expansion restores doc grain — on a
+    * duplicate-saturated corpus (the sf1 gate's factor-replicated inputs)
+    * the doc-grain closure materializes component² reach rows and stalls,
+    * while the family-grain closure is exactly the unreplicated cost.
+    * Self-loops keep multi-member families with no external edge in the
+    * vertex set (their members ARE paired — hamming-0 edges); single-member
+    * edge-less families stay out, like the doc-grain graph. Appends to
+    * [[SimhashEdgesSql]]'s prefix (uses `fp`; `e` is pruned as unused).
+    */
+  private val SimhashFamilyCompSql = """
+        fam AS (
+          SELECT lang, simhash, min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m
+          FROM fp GROUP BY 1, 2),
+        fe AS (
+          SELECT a.gid AS x, b.gid AS y
+          FROM fam a JOIN fam b ON a.lang = b.lang AND a.gid < b.gid
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+        fund AS (
+          SELECT x, y FROM fe UNION ALL SELECT y, x FROM fe
+          UNION ALL SELECT gid, gid FROM fam WHERE m >= 2),
+        fcomp AS (
+          SELECT v, min(r) AS label FROM (
+            WITH RECURSIVE reach(v, r) AS (
+              SELECT x, x FROM fund
+              UNION
+              SELECT reach.v, fund.y FROM reach JOIN fund ON fund.x = reach.r
+            ) SELECT v, r FROM reach) GROUP BY v),
+        mem AS (SELECT gid, unnest(members) AS doc_id FROM fam),
+        comp AS (
+          SELECT mem.doc_id AS v, fcomp.label
+          FROM mem JOIN fcomp ON fcomp.v = mem.gid)"""
 
   val all: Seq[Q] = Seq(
 
@@ -445,6 +492,12 @@ object CorpusQueries {
         FROM documents GROUP BY 1""")),
 
     // n-gram Jaccard near-dup pairs, blocked by language (bounded quadratic).
+    // The oracle replays the operator's exact-duplicate collapse: identical
+    // (lang, shingle-set) docs form a family, the quadratic loop runs at
+    // family grain, same-family pairs are jaccard 1.0 by identity — the
+    // replay stays exact while surviving duplicate-saturated corpora (the
+    // sf1 gate's factor-replicated inputs) that a doc-grain all-pairs join
+    // cannot.
     Q("q_ngram_dup_pairs",
       (s, dir) => TextDedup.blockedJaccardPairs(
         t(s, dir, "documents"), "doc_id", "lang", TextFns.tokens(col("text")), 2, 0.5),
@@ -452,15 +505,28 @@ object CorpusQueries {
         WITH sh AS (
           SELECT doc_id, lang,
             CASE WHEN len(tk) >= 2
-                 THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
+                 THEN list_sort(list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]))
                  ELSE [] END AS s
-          FROM (SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents))
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / CAST(nullif(len(list_distinct(list_concat(a.s, b.s))), 0) AS DOUBLE) AS jaccard
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / CAST(nullif(len(list_distinct(list_concat(a.s, b.s))), 0) AS DOUBLE) >= 0.5""")),
+          FROM (SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
+        fam AS (
+          SELECT lang, s, min(doc_id) AS gid, list(doc_id) AS members, len(s) AS n
+          FROM sh GROUP BY lang, s),
+        mem AS (SELECT gid, unnest(members) AS m, n FROM fam),
+        same AS (
+          SELECT a.m AS a_id, b.m AS b_id, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM mem a JOIN mem b ON a.gid = b.gid AND a.m < b.m
+          WHERE a.n >= 1),
+        fampairs AS (
+          SELECT a.gid AS ga, b.gid AS gb,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(nullif(len(list_distinct(list_concat(a.s, b.s))), 0) AS DOUBLE) AS jaccard
+          FROM fam a JOIN fam b ON a.lang = b.lang AND a.gid < b.gid
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(nullif(len(list_distinct(list_concat(a.s, b.s))), 0) AS DOUBLE) >= 0.5),
+        crossed AS (
+          SELECT least(x.m, y.m) AS a_id, greatest(x.m, y.m) AS b_id, f.jaccard
+          FROM fampairs f JOIN mem x ON x.gid = f.ga JOIN mem y ON y.gid = f.gb)
+        SELECT * FROM same UNION ALL SELECT * FROM crossed""")),
 
     // MinHash + LSH banding near-dup pairs (md5 hash family so the oracle
     // reproduces signatures bit-for-bit), verified with exact Jaccard.
@@ -564,26 +630,30 @@ object CorpusQueries {
       None),
 
     // SimHash fingerprints + Hamming-distance near-dup pairs within a
-    // language block.
+    // language block. The oracle replays pairs at (lang, simhash)-family
+    // grain and expands to doc pairs (same-family pairs are hamming 0 by
+    // identity) — lossless, and the only formulation that survives the
+    // duplicate-saturated sf1 gate corpus.
     Q("q_simhash_pairs",
       (s, dir) => simhashPairs(s, dir).select(col("a_id"), col("b_id"), col("hamming")),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tk FROM documents),
-        bits AS (
-          SELECT doc_id, lang, j,
-                 sum(((CAST(floor((strpos('0123456789abcdef', substr(md5(tk), 1 + (j // 4), 1)) - 1)
-                                  / 2^(3 - (j % 4))) AS INT) % 2) * 2 - 1)) AS s
-          FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
-          GROUP BY 1, 2, 3),
-        fp AS (
-          SELECT doc_id, lang,
-                 CAST(sum(CASE WHEN s >= 0 THEN CAST(2^j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-          FROM bits GROUP BY 1, 2)
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""")),
+      Some(s"""$SimhashEdgesSql,
+        sfam AS (
+          SELECT lang, simhash, min(doc_id) AS gid, list(doc_id) AS members
+          FROM fp GROUP BY 1, 2),
+        smem AS (SELECT gid, unnest(members) AS doc_id FROM sfam),
+        spairs AS (
+          SELECT a.gid AS ga, b.gid AS gb,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sfam a JOIN sfam b ON a.lang = b.lang AND a.gid < b.gid
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+        same AS (
+          SELECT x.doc_id AS a_id, y.doc_id AS b_id, 0 AS hamming
+          FROM smem x JOIN smem y ON x.gid = y.gid AND x.doc_id < y.doc_id),
+        crossed AS (
+          SELECT least(x.doc_id, y.doc_id) AS a_id,
+                 greatest(x.doc_id, y.doc_id) AS b_id, p.hamming
+          FROM spairs p JOIN smem x ON x.gid = p.ga JOIN smem y ON y.gid = p.gb)
+        SELECT * FROM same UNION ALL SELECT * FROM crossed""")),
 
     // Dedup GROUPS from near-dup pairs: min-label connected components TO
     // CONVERGENCE over the simhash pair graph — transitive duplicates
@@ -594,15 +664,7 @@ object CorpusQueries {
     // replay fidelity of a fixed round budget (round-3 verdict item).
     Q("q_dedup_groups",
       (s, dir) => dedupGroupsShared(s, dir),
-      Some(s"""$SimhashEdgesSql,
-        und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
-        comp AS (
-          SELECT v, min(r) AS label FROM (
-            WITH RECURSIVE reach(v, r) AS (
-              SELECT x, x FROM und
-              UNION
-              SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
-            ) SELECT v, r FROM reach) GROUP BY v)
+      Some(s"""$SimhashEdgesSql,$SimhashFamilyCompSql
         SELECT v AS member_id, label AS group_id, v = label AS is_canonical FROM comp""")),
 
     // Brute-force cosine top-k against a query vector (exact ANN baseline).
@@ -1595,15 +1657,7 @@ object CorpusQueries {
           .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
           .withColumn("is_canonical", row_number().over(w) === 1)
       },
-      Some(s"""$SimhashEdgesSql,
-        und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
-        comp AS (
-          SELECT v, min(r) AS label FROM (
-            WITH RECURSIVE reach(v, r) AS (
-              SELECT x, x FROM und
-              UNION
-              SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
-            ) SELECT v, r FROM reach) GROUP BY v),
+      Some(s"""$SimhashEdgesSql,$SimhashFamilyCompSql,
         scored AS (
           SELECT doc_id,
             least(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) / 50.0, 1.0) * 0.4

@@ -86,6 +86,43 @@ class TextDedupSpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L))) // 3 matches content but is in another block
   }
+
+  test("blockedJaccardPairs duplicate-collapse equals naive all-pairs, bit-exact") {
+    // copy families (the exact-duplicate collapse path), near-dups across
+    // families (the representative-loop path), a cross-block twin, and
+    // shingle-less one-token docs (empty sets — excluded like union=0)
+    val texts = Seq(
+      0L -> ("en", "the quick brown fox jumps over the lazy dog"),
+      1L -> ("en", "the quick brown fox jumps over the lazy dog"),
+      2L -> ("en", "the quick brown fox jumps over the lazy dog"),
+      3L -> ("en", "the quick brown fox jumps over a lazy dog"),
+      4L -> ("en", "the quick brown fox jumps over a lazy dog"),
+      5L -> ("en", "something else entirely different here now"),
+      6L -> ("de", "the quick brown fox jumps over the lazy dog"),
+      7L -> ("en", "solo"),
+      8L -> ("en", "solo"))
+    val df = texts.map { case (id, (b, t)) => (id, b, t) }.toDF("doc_id", "blk", "text")
+    val theta = 0.3
+    val got = TextDedup.blockedJaccardPairs(
+        df, "doc_id", "blk", TextFns.tokens($"text"), 2, theta)
+      .as[(Long, Long, Double)].collect().toSet
+    // naive reference: per-doc distinct 2-gram sets, every in-block pair
+    val sets = texts.map { case (id, (b, t)) =>
+      val tk = t.trim.split("\\s+").filter(_.nonEmpty)
+      (id, b, tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet)
+    }
+    val want = (for {
+      (a, ba, sa) <- sets; (b, bb, sb) <- sets
+      if a < b && ba == bb
+      inter = (sa & sb).size
+      union = sa.size + sb.size - inter
+      if union > 0
+      j = inter.toDouble / union.toDouble
+      if j >= theta
+    } yield (a, b, j)).toSet
+    assert(want.exists(_._3 < 1.0) && want.exists(_._3 == 1.0)) // both paths hit
+    assert(got === want)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
