@@ -530,44 +530,67 @@ object CorpusQueries {
 
     // MinHash + LSH banding near-dup pairs (md5 hash family so the oracle
     // reproduces signatures bit-for-bit), verified with exact Jaccard.
+    // Oracle replays at distinct-TEXT family grain (identical text =>
+    // identical signature => identical band hashes — lossless) and
+    // faithfully replays the engine's 1000-doc bucket cap as sum(m) over
+    // the families in a bucket; same-family pairs are candidates whenever
+    // any of their shared buckets survives, with jaccard 1.0 by identity.
     Q("q_minhash_dup_pairs",
       (s, dir) => TextDedup.minhashDupPairs(
         t(s, dir, "documents"), "doc_id", "text",
         shingleWords = 2, bands = 4, rowsPerBand = 3, threshold = 0.5,
         family = TextDedup.HexMd5),
       Some("""
-        WITH sh AS (
-          SELECT doc_id,
+        WITH dfam AS (
+          SELECT text, min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m
+          FROM documents GROUP BY 1),
+        sh AS (
+          SELECT gid, m,
             CASE WHEN len(tk) >= 2
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
                  ELSE [] END AS s
-          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
+          FROM (SELECT gid, m, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM dfam)),
         bases AS (
-          SELECT doc_id, list_transform(s, x ->
+          SELECT gid, m, list_transform(s, x ->
             CAST(list_reduce(list_transform(range(1, 8),
                 k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1) * 16^(7-k)),
               (a, b) -> a + b) AS BIGINT)) AS bs
           FROM sh WHERE len(s) > 0),
         sig AS (
-          SELECT doc_id, [list_min(list_transform(bs,
+          SELECT gid, m, [list_min(list_transform(bs,
                    b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
                  FOR h IN range(0, 12)] AS sg
           FROM bases),
         banded AS (
-          SELECT doc_id, b,
+          SELECT gid, m, b,
                  md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*3+1:b*3+3], '|')) AS bh
           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
-        SELECT a_id, b_id,
-               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                 / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = a_id
-        JOIN sh sb ON sb.doc_id = b_id
-        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5""")),
+        okbuckets AS (
+          SELECT b, bh FROM banded GROUP BY 1, 2 HAVING sum(m) <= 1000),
+        capped AS (SELECT banded.* FROM banded JOIN okbuckets USING (b, bh)),
+        mems AS (SELECT gid, unnest(members) AS doc_id FROM dfam),
+        same AS (
+          SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM (SELECT DISTINCT gid FROM capped) cg
+          JOIN mems x ON x.gid = cg.gid
+          JOIN mems y ON y.gid = cg.gid AND x.doc_id < y.doc_id),
+        candf AS (
+          SELECT DISTINCT l.gid AS ga, r.gid AS gb
+          FROM capped l JOIN capped r ON l.b = r.b AND l.bh = r.bh AND l.gid < r.gid),
+        fver AS (
+          SELECT ga, gb,
+                 CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) AS jaccard
+          FROM candf
+          JOIN sh sa ON sa.gid = ga
+          JOIN sh sb ON sb.gid = gb
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5),
+        crossed AS (
+          SELECT least(x.doc_id, y.doc_id) AS a_id,
+                 greatest(x.doc_id, y.doc_id) AS b_id, f.jaccard
+          FROM fver f JOIN mems x ON x.gid = f.ga JOIN mems y ON y.gid = f.gb)
+        SELECT * FROM same UNION ALL SELECT * FROM crossed""")),
 
     // Cross-corpus MinHash decontamination: training docs (doc_id < 250)
     // that fuzzily duplicate eval docs (doc_id >= 250) — the near-dup
