@@ -738,8 +738,15 @@ object CorpusQueries {
     // SemDeDup (Abbas et al. 2303.09540): within-IVF-cluster cosine>=0.4
     // duplicate groups via connected components; keep the member LEAST
     // similar to its cluster centroid (the paper's rule), ties by id.
-    // Oracle replays assignment, pair graph, recursive-CTE closure, and
-    // the representative choice bit-for-bit.
+    // Oracle replays assignment, pair graph, closure, and representative
+    // choice at distinct-VECTOR family grain (identical vectors share
+    // assignment, pairwise cosine 1.0, and centroid cosine — lossless):
+    // a nonzero-norm multi-member family is internally a clique, entering
+    // the closure via a self-loop; zero-norm families have every pairwise
+    // cosine NULL (predicate false), so their members stay singletons.
+    // Family gid = min member id, so the family-grain min-label closure
+    // expands to exactly the doc-grain labels, and the doc-grain rep
+    // order (centroid_cos, vec_id) collapses to (centroid_cos, gid).
     Q("q_semdedup",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -748,24 +755,34 @@ object CorpusQueries {
           "vec_id", "embedding", "centroid_id", threshold = 0.4)
       },
       Some("""
-        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+        WITH fam AS (
+          SELECT min(vec_id) AS gid, list(vec_id) AS members, count(*) AS m,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings GROUP BY embedding),
+        c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+              FROM embeddings WHERE vec_id < 8),
         d AS (
-          SELECT v.vec_id, c.cid,
-                 row_number() OVER (PARTITION BY v.vec_id
-                   ORDER BY list_reduce(list_transform(range(1, 65), i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
-          FROM v CROSS JOIN c),
-        asg AS (SELECT vec_id, cid FROM d WHERE rn = 1),
-        p AS (
-          SELECT x.vec_id AS a_id, y.vec_id AS b_id
-          FROM asg x
-          JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
-          JOIN v va ON va.vec_id = x.vec_id
-          JOIN v vb ON vb.vec_id = y.vec_id
-          WHERE list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (x2, y2) -> x2 + y2)
-                  / nullif(sqrt(list_reduce(list_transform(va.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
-                           * sqrt(list_reduce(list_transform(vb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) >= 0.4),
-        und AS (SELECT a_id AS x, b_id AS y FROM p UNION ALL SELECT b_id, a_id FROM p),
+          SELECT fam.gid, c.cid,
+                 row_number() OVER (PARTITION BY fam.gid
+                   ORDER BY list_reduce(list_transform(range(1, 65), i -> (fam.vec[i] - c.cvec[i]) * (fam.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
+          FROM fam CROSS JOIN c),
+        asgf AS (SELECT gid, cid FROM d WHERE rn = 1),
+        pf AS (
+          SELECT x.gid AS ga, y.gid AS gb
+          FROM asgf x
+          JOIN asgf y ON x.cid = y.cid AND x.gid < y.gid
+          JOIN fam fa ON fa.gid = x.gid
+          JOIN fam fb ON fb.gid = y.gid
+          WHERE list_reduce(list_transform(range(1, 65), i -> fa.vec[i] * fb.vec[i]), (x2, y2) -> x2 + y2)
+                  / nullif(sqrt(list_reduce(list_transform(fa.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
+                           * sqrt(list_reduce(list_transform(fb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) >= 0.4),
+        selfp AS (
+          SELECT gid AS ga, gid AS gb FROM fam
+          WHERE m >= 2
+            AND sqrt(list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y)) > 0.0),
+        und AS (SELECT ga AS x, gb AS y FROM pf
+                UNION ALL SELECT gb, ga FROM pf
+                UNION ALL SELECT ga, gb FROM selfp),
         comp AS (
           SELECT grp.v, min(grp.r) AS label FROM (
             WITH RECURSIVE reach(v, r) AS (
@@ -773,26 +790,30 @@ object CorpusQueries {
               UNION
               SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
             ) SELECT v, r FROM reach) grp GROUP BY grp.v),
-        lab AS (
-          SELECT a.vec_id, a.cid AS cluster_id,
-                 coalesce(comp.label, a.vec_id) AS group_id,
-                 list_reduce(list_transform(range(1, 65), i -> vv.vec[i] * c.cvec[i]), (x2, y2) -> x2 + y2)
-                   / nullif(sqrt(list_reduce(list_transform(vv.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
+        labf AS (
+          SELECT a.gid, a.cid AS cluster_id, comp.label AS flabel,
+                 list_reduce(list_transform(range(1, 65), i -> fam.vec[i] * c.cvec[i]), (x2, y2) -> x2 + y2)
+                   / nullif(sqrt(list_reduce(list_transform(fam.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
                             * sqrt(list_reduce(list_transform(c.cvec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) AS centroid_cos
-          FROM asg a
-          JOIN v vv ON vv.vec_id = a.vec_id
+          FROM asgf a
+          JOIN fam ON fam.gid = a.gid
           JOIN c ON c.cid = a.cid
-          LEFT JOIN comp ON comp.v = a.vec_id),
-        rep AS (
-          SELECT group_id, vec_id AS rep_id,
-                 row_number() OVER (PARTITION BY group_id
-                   ORDER BY coalesce(centroid_cos, -2.0), vec_id) AS rn
-          FROM lab)
-        SELECT l.vec_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
-               CAST(l.group_id AS BIGINT) AS group_id, l.centroid_cos,
-               l.vec_id = r.rep_id AS is_kept
-        FROM lab l
-        JOIN (SELECT group_id, rep_id FROM rep WHERE rn = 1) r ON r.group_id = l.group_id""")),
+          LEFT JOIN comp ON comp.v = a.gid),
+        repf AS (
+          SELECT flabel AS group_id, gid AS rep_id,
+                 row_number() OVER (PARTITION BY flabel
+                   ORDER BY coalesce(centroid_cos, -2.0), gid) AS rn
+          FROM labf WHERE flabel IS NOT NULL),
+        memb AS (SELECT gid, unnest(members) AS vec_id FROM fam)
+        SELECT memb.vec_id, CAST(labf.cluster_id AS BIGINT) AS cluster_id,
+               CAST(coalesce(labf.flabel, memb.vec_id) AS BIGINT) AS group_id,
+               labf.centroid_cos,
+               CASE WHEN labf.flabel IS NULL THEN true
+                    ELSE memb.vec_id = r.rep_id END AS is_kept
+        FROM memb
+        JOIN labf ON labf.gid = memb.gid
+        LEFT JOIN (SELECT group_id, rep_id FROM repf WHERE rn = 1) r
+          ON r.group_id = labf.flabel""")),
 
     // Embedding-cosine near-dup pairs, IVF-cluster-blocked: assign every
     // vector to its nearest centroid (broadcast argmin, map-only), verify
@@ -2654,6 +2675,9 @@ object CorpusQueries {
     // predicate. 1-in-5 doc slice: the synthetic corpus is word salad from
     // a ~40-token vocabulary, so at full density the RESULT itself is
     // quadratic-sized — the slice bounds output, not algorithm cost.
+    // Oracle replays at distinct-token-set family grain (lossless: same
+    // set => same intersections; same-family pairs are inter=uni=|ts|,
+    // which passes any theta <= 100 including the empty set's 0>=0).
     Q("q_setsim_pairs",
       (s, dir) => SetSimJoin.jaccardJoin(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
@@ -2663,13 +2687,28 @@ object CorpusQueries {
           SELECT doc_id,
                  list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS ts
           FROM documents WHERE doc_id % 5 = 0),
-        p AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 len(list_intersect(a.ts, b.ts)) AS inter,
-                 len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
-          FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        SELECT id_a, id_b, CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni
-        FROM p WHERE inter * 100 >= 90 * uni""")),
+        fam AS (
+          SELECT ts, min(doc_id) AS gid, list(doc_id) AS members
+          FROM d GROUP BY ts),
+        memb AS (SELECT gid, unnest(members) AS id FROM fam),
+        same AS (
+          SELECT x.id AS id_a, y.id AS id_b,
+                 CAST(len(f.ts) AS INT) AS inter, CAST(len(f.ts) AS INT) AS uni
+          FROM fam f
+          JOIN memb x ON x.gid = f.gid
+          JOIN memb y ON y.gid = f.gid AND x.id < y.id),
+        fp AS (
+          SELECT a.gid AS ga, b.gid AS gb, len(list_intersect(a.ts, b.ts)) AS inter,
+                 len(a.ts) AS na, len(b.ts) AS nb
+          FROM fam a JOIN fam b ON a.gid < b.gid),
+        fk AS (
+          SELECT ga, gb, inter, na + nb - inter AS uni FROM fp
+          WHERE inter * 100 >= 90 * (na + nb - inter)),
+        crossed AS (
+          SELECT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b,
+                 CAST(fk.inter AS INT) AS inter, CAST(fk.uni AS INT) AS uni
+          FROM fk JOIN memb x ON x.gid = fk.ga JOIN memb y ON y.gid = fk.gb)
+        SELECT * FROM same UNION ALL SELECT * FROM crossed""")),
 
     // Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
     // the MOSS scheme): positional 3-gram md5-prefix hashes, window-of-4
