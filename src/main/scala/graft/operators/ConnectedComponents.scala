@@ -79,7 +79,7 @@ object ConnectedComponents {
     *         `maxRounds` rounds (component diameter > maxRounds).
     */
   def minLabel(edges: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50,
-      jumpsPerRound: Int = 4): DataFrame = {
+      jumpsPerRound: Int = 2): DataFrame = {
     // materialize the (possibly expensive) pair-producing pipeline ONCE,
     // BEFORE mirroring: a union of two selects over the raw `edges` plan
     // executes the upstream near-dup join once per branch (the O(block²)
@@ -123,17 +123,19 @@ object ConnectedComponents {
       val stepped = labels.unionByName(viaNeighbor)
         .groupBy(col("v"))
         .agg(min(col("label")).as("label"))
-      // several jumps per round: each jump composes the pointer with the
-      // EVOLVING label frame, so pointer depth doubles per jump —
-      // ~2^jumpsPerRound reach per round — while costing only one more
-      // |V|-row join inside the same materialization. Rounds are the
-      // expensive unit (a synchronization barrier: checkpoint + convergence
-      // aggregate + scheduler latency locally; a full shuffle stage wave on
-      // a cluster), so trading j cheap intra-round joins for a ~2^j round
-      // reduction wins on chain-shaped components (measured on the sf0.1
-      // simhash graph, 1128-vertex chain component: 8 rounds -> 3 at
-      // jumpsPerRound=4; dense near-dup cliques converge in 2 rounds under
-      // either setting)
+      // pointer jumps per round: each jump composes the label with itself
+      // (v reaches label(v) reaches label(label(v))), costing one more
+      // |V|-row join inside the same materialization. Measured on the real
+      // workloads (CC_ROUNDS.json, CcRoundsProbe on the sf0.1 simhash
+      // graph with its 1128-vertex random-id chain component): rounds stay
+      // at 8 ≈ log2(chain) for EVERY jumpsPerRound in {1,2,4,8} — the
+      // neighbor-step + first jump already achieves per-round doubling,
+      // and further jumps do not compound on random id layouts — while
+      // per-round plan cost grows with j (5.0s at j=2 vs 7.1s at j=4 vs
+      // 45.9s at j=8 for the full convergence). Dense near-dup clique
+      // graphs (the factor-100 probe) converge in 2 rounds at any j. So
+      // the default is the measured cost floor j=2, keeping one extra
+      // jump over j=1 for layouts where halving does compound
       labels = (1 to jumpsPerRound).foldLeft(stepped)((d, _) => jump(d))
         .localCheckpoint()
       prevPinned.foreach(_.unpersist(blocking = false))
