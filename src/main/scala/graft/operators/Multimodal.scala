@@ -37,6 +37,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is FILE-backed: every decode of an
+  // in-memory byte array (and every ImageIO.write to an OutputStream)
+  // round-trips through a temp file in java.io.tmpdir — a per-ROW disk
+  // write+read+delete whose latency tracks local-disk pressure, observed
+  // drifting q_jpeg_decode 0.8s -> 5.2s across a session with no code
+  // change. Our payloads are always in-memory byte arrays, so the memory
+  // cache is strictly better — and on a cluster it removes a local-disk
+  // dependency and fd churn from every executor decode task. Object-init
+  // runs once per JVM (driver and each executor) before any codec call.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Schema of an extracted-feature row. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
