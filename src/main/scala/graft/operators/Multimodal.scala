@@ -1394,6 +1394,133 @@ object Multimodal {
     out
   }
 
+  /** Image near-dup GROUPS over [[dHashFeatures]] output — the scale-safe
+    * contract for duplicate-saturated corpora, where the PAIR output of
+    * [[imageNearDupPairs]] is inherently C(f,2)-quadratic per copy-family
+    * of size f (measured 5.3M pair rows at replication factor 10). Same
+    * output contract as `ConnectedComponents.dedupGroups`:
+    * (member_id, group_id, is_canonical), one row per doc in the near-dup
+    * graph — LINEAR in corpus size at any replication factor.
+    *
+    * Scale design (the text-family `TextDedup`/family-collapse pattern):
+    * docs with an identical 64-bit dHash form a FAMILY (the pair relation
+    * depends only on the hash, so identical hashes relate identically to
+    * everything); the banded hamming join and the min-label connected
+    * components both run at family grain — bounded by distinct-content
+    * count, independent of replication — and members expand back at the
+    * end. A multi-member family is a hamming-0 clique, so its members are
+    * in the graph even without a cross-family edge; hashless (undecodable)
+    * docs and single-member families with no edge stay out, exactly like
+    * the doc-grain pair graph.
+    */
+  def imageNearDupGroups(
+      hashes: DataFrame,
+      maxHamming: Int,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame = {
+    val hs = hashes.filter(col("dhash_hi").isNotNull)
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo")).persist()
+    val fam = hs.groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(min(col("doc_id")).as("__gid"), count(lit(1)).as("__m"))
+    val memb = hs.join(fam, Seq("dhash_hi", "dhash_lo"))
+      .select(col("doc_id"), col("__gid"), col("__m"))
+    val famHashes = fam.select(col("__gid").as("doc_id"), col("dhash_hi"), col("dhash_lo"))
+    val fpairs = imageNearDupPairs(famHashes, maxHamming, build)
+    val labels = ConnectedComponents.minLabel(fpairs, "a_id", "b_id")
+    val out = memb
+      .join(labels.select(col("v").as("__gid"), col("label")), Seq("__gid"), "left")
+      .filter(col("label").isNotNull || col("__m") >= 2)
+      .select(col("doc_id").as("member_id"),
+        coalesce(col("label"), col("__gid")).as("group_id"),
+        (col("doc_id") === coalesce(col("label"), col("__gid"))).as("is_canonical"))
+      // eager: the groups frame is linear in corpus size; materializing it
+      // here lets the hash cache and the CC label checkpoints release
+      // instead of leaking for the session (imageNearDupPairs discipline)
+      .localCheckpoint()
+    ConnectedComponents.releaseResult(labels)
+    hs.unpersist()
+    out
+  }
+
+  /** Banded-contour near-dup GROUPS — the audio/video sibling of
+    * [[imageNearDupGroups]], over [[audioFingerprint]]/[[videoFingerprint]]
+    * bands and [[audioLevels]]/[[videoLevels]] contours. The pair relation
+    * of [[contourNearDupPairs]] is a pure function of the two docs' level
+    * contours (band signatures derive from the contour), so docs with an
+    * identical contour form a lossless FAMILY: candidates, verify, and the
+    * min-label connected components all run at family grain (bounded by
+    * distinct-content count) and members expand back at the end — LINEAR
+    * output where the pair form is C(f,2)-quadratic per copy-family.
+    *
+    * A multi-member family is in the graph iff identical docs actually
+    * pair, i.e. the family has at least `minBands` bands (a shorter clip
+    * can never reach the candidate threshold, even against an exact copy);
+    * single-member families need a cross-family edge, exactly like the
+    * doc-grain graph. Output: (member_id, group_id, is_canonical).
+    */
+  def contourNearDupGroups(
+      fps: DataFrame,
+      levels: DataFrame,
+      minBands: Int,
+      maxLevelDiff: Long,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame = {
+    require(minBands > 0 && maxLevelDiff >= 0,
+      s"need positive thresholds: $minBands / $maxLevelDiff")
+    val lv = levels.persist()
+    // family key: the full ordered contour, serialized to one string so the
+    // group-by/join key is a flat binary comparison (collect_list order is
+    // nondeterministic — sort by frame_idx before joining)
+    val famOf = lv.groupBy(col("doc_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("level")))),
+        x => concat_ws(":", x.getField("frame_idx").cast("string"),
+          x.getField("level").cast("string"))), "|").as("__ck"))
+    val fam = famOf.groupBy(col("__ck"))
+      .agg(min(col("doc_id")).as("__gid"), count(lit(1)).as("__m"))
+    val memb = famOf.join(fam, Seq("__ck"))
+      .select(col("doc_id"), col("__gid"), col("__m"))
+    val gids = fam.select(col("__gid").as("doc_id"))
+    val ffps = fps.join(gids, Seq("doc_id"), "left_semi").persist()
+    val flv = lv.join(gids, Seq("doc_id"), "left_semi")
+    val fpairs = contourNearDupPairs(ffps, flv, minBands, maxLevelDiff, build)
+    val nb = ffps.groupBy(col("doc_id")).agg(count(lit(1)).as("__nb"))
+    val labels = ConnectedComponents.minLabel(fpairs, "a_id", "b_id")
+    val out = memb
+      .join(labels.select(col("v").as("__gid"), col("label")), Seq("__gid"), "left")
+      .join(nb.select(col("doc_id").as("__gid"), col("__nb")), Seq("__gid"), "left")
+      .filter(col("label").isNotNull ||
+        (col("__m") >= 2 && coalesce(col("__nb"), lit(0L)) >= minBands))
+      .select(col("doc_id").as("member_id"),
+        coalesce(col("label"), col("__gid")).as("group_id"),
+        (col("doc_id") === coalesce(col("label"), col("__gid"))).as("is_canonical"))
+      .localCheckpoint()
+    ConnectedComponents.releaseResult(labels)
+    ffps.unpersist()
+    lv.unpersist()
+    out
+  }
+
+  /** [[contourNearDupGroups]] under its audio name — see
+    * [[audioNearDupPairs]] for the inputs' contracts.
+    */
+  def audioNearDupGroups(
+      fps: DataFrame,
+      levels: DataFrame,
+      minBands: Int,
+      maxLevelDiff: Long,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame =
+    contourNearDupGroups(fps, levels, minBands, maxLevelDiff, build)
+
+  /** [[contourNearDupGroups]] under its video name — see
+    * [[videoNearDupPairs]] for the inputs' contracts.
+    */
+  def videoNearDupGroups(
+      fps: DataFrame,
+      levels: DataFrame,
+      minBands: Int,
+      maxLevelDiff: Long,
+      build: NearDupBuild = NearDupBuild.Broadcast): DataFrame =
+    contourNearDupGroups(fps, levels, minBands, maxLevelDiff, build)
+
   /** Schema of a decoded-video feature row (see `decodeY4mFeatures`). */
   val videoFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

@@ -391,6 +391,58 @@ object CorpusQueries {
           SELECT mem.doc_id AS v, fcomp.label
           FROM mem JOIN fcomp ON fcomp.v = mem.gid)"""
 
+  /** The shared family-grain groups tail for the contour (audio/video)
+    * near-dup GROUPS oracles: appended to [[AudioFpSql]]/[[VideoFpSql]]
+    * (uses their `lv` + `bd` CTEs). Family = identical ordered level
+    * contour (band signatures derive from the contour, so the pair
+    * relation is a pure function of the two contours — lossless, the
+    * [[SimhashFamilyCompSql]] pattern): candidates + verify replay at
+    * family grain, multi-member families with >= 2 bands enter the
+    * closure via a self-loop (identical clips DO pair), and member
+    * expansion restores doc grain. The r9 lesson applied from the start —
+    * a doc-grain closure would be quadratic on replicated gate corpora.
+    */
+  private val ContourGroupsSql = """,
+        ck AS (SELECT doc_id, list(level ORDER BY frame_idx) AS key FROM lv GROUP BY doc_id),
+        fam AS (SELECT min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m
+                FROM ck GROUP BY key),
+        fb AS (SELECT bd.* FROM bd JOIN fam ON bd.doc_id = fam.gid),
+        fl AS (SELECT lv.* FROM lv JOIN fam ON lv.doc_id = fam.gid),
+        nbd AS (SELECT doc_id, count(*) AS nbands FROM fb GROUP BY 1),
+        cand AS (
+          SELECT a.doc_id AS a_id, c.doc_id AS b_id
+          FROM fb a JOIN fb c ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+            AND a.doc_id < c.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nfr AS (SELECT doc_id, count(*) AS nf FROM fl GROUP BY 1),
+        ver AS (
+          SELECT cand.a_id, cand.b_id, count(*) AS n_frames,
+                 max(abs(la.level - lb.level)) AS mld
+          FROM cand
+          JOIN fl la ON la.doc_id = cand.a_id
+          JOIN fl lb ON lb.doc_id = cand.b_id AND lb.frame_idx = la.frame_idx
+          GROUP BY 1, 2),
+        fe AS (
+          SELECT ver.a_id AS x, ver.b_id AS y FROM ver
+          JOIN nfr na ON na.doc_id = ver.a_id
+          JOIN nfr nb2 ON nb2.doc_id = ver.b_id
+          WHERE na.nf = nb2.nf AND ver.n_frames = na.nf AND ver.mld <= 1),
+        fund AS (
+          SELECT x, y FROM fe UNION ALL SELECT y, x FROM fe
+          UNION ALL SELECT fam.gid, fam.gid FROM fam
+          JOIN nbd ON nbd.doc_id = fam.gid WHERE fam.m >= 2 AND nbd.nbands >= 2),
+        fcomp AS (
+          SELECT v, min(r) AS label FROM (
+            WITH RECURSIVE reach(v, r) AS (
+              SELECT x, x FROM fund
+              UNION
+              SELECT reach.v, fund.y FROM reach JOIN fund ON fund.x = reach.r
+            ) SELECT v, r FROM reach) GROUP BY v),
+        mem AS (SELECT gid, unnest(members) AS doc_id FROM fam)
+        SELECT mem.doc_id AS member_id, fcomp.label AS group_id,
+               mem.doc_id = fcomp.label AS is_canonical
+        FROM mem JOIN fcomp ON fcomp.v = mem.gid"""
+
   val all: Seq[Q] = Seq(
 
     // Text analysis: token counts, ratios, quality score, fingerprint,
@@ -1604,6 +1656,70 @@ object CorpusQueries {
         JOIN nfr na ON na.doc_id = ver.a_id
         JOIN nfr nb ON nb.doc_id = ver.b_id
         WHERE na.nf = nb.nf AND ver.n_frames = na.nf AND ver.max_level_diff <= 1""")),
+
+    // Image near-dup GROUPS — the scale-safe contract on duplicate-saturated
+    // corpora, where the pair output above is C(f,2)-quadratic per
+    // copy-family (5.3M rows at replication factor 10, BENCH_SF1). Family
+    // collapse on the 64-bit dHash (the pair relation depends only on the
+    // hash) bounds the banded join AND the connected components by
+    // distinct-content count; output is one (member, group, canonical) row
+    // per doc in the near-dup graph — linear at any replication factor.
+    // The oracle replays the closure at the same family grain.
+    Q("q_image_phash_groups",
+      (s, dir) => Multimodal.imageNearDupGroups(
+        Multimodal.dHashFeatures(
+          Multimodal.dhashFixture(t(s, dir, "documents"), "doc_id")),
+        maxHamming = 3),
+      Some(DHashSql + """,
+        fam AS (SELECT min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m,
+                       dhash_hi, dhash_lo
+                FROM ph GROUP BY dhash_hi, dhash_lo),
+        fe AS (SELECT a.gid AS x, b.gid AS y
+               FROM fam a JOIN fam b ON a.gid < b.gid
+               WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+                     + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3),
+        fund AS (SELECT x, y FROM fe UNION ALL SELECT y, x FROM fe
+                 UNION ALL SELECT gid, gid FROM fam WHERE m >= 2),
+        fcomp AS (
+          SELECT v, min(r) AS label FROM (
+            WITH RECURSIVE reach(v, r) AS (
+              SELECT x, x FROM fund
+              UNION
+              SELECT reach.v, fund.y FROM reach JOIN fund ON fund.x = reach.r
+            ) SELECT v, r FROM reach) GROUP BY v),
+        mem AS (SELECT gid, unnest(members) AS doc_id FROM fam)
+        SELECT mem.doc_id AS member_id, fcomp.label AS group_id,
+               mem.doc_id = fcomp.label AS is_canonical
+        FROM mem JOIN fcomp ON fcomp.v = mem.gid""")),
+
+    // Audio near-dup GROUPS: the contour family collapse (identical level
+    // contours => identical band signatures => identical pair relation)
+    // runs candidates, verify, and CC at distinct-content grain and
+    // expands members at the end — linear output where the pair form grew
+    // C(f,2) per copy-family. Completes the audio dedup ladder with the
+    // groups contract the text family already has.
+    Q("q_audio_neardup_groups",
+      (s, dir) => {
+        val media = Multimodal.wavDupFixture(t(s, dir, "documents"), "doc_id")
+        Multimodal.audioNearDupGroups(
+          Multimodal.audioFingerprint(media,
+            frameSamples = 8, hop = 4, qStep = 32768L, bandFrames = 2),
+          Multimodal.audioLevels(media, frameSamples = 8, hop = 4, qStep = 32768L),
+          minBands = 2, maxLevelDiff = 1L)
+      },
+      Some(AudioFpSql + ContourGroupsSql)),
+
+    // Video near-dup GROUPS: same contour family collapse over the per-frame
+    // luma levels — the last rung of the media groups ladder.
+    Q("q_video_neardup_groups",
+      (s, dir) => {
+        val media = Multimodal.y4mDupFixture(t(s, dir, "documents"), "doc_id")
+        Multimodal.videoNearDupGroups(
+          Multimodal.videoFingerprint(media, bandFrames = 2, qStep = 4L),
+          Multimodal.videoLevels(media, qStep = 4L),
+          minBands = 2, maxLevelDiff = 1L)
+      },
+      Some(VideoFpSql + ContourGroupsSql)),
 
     // Int8 scalar quantization of the embedding table (per-dim min/max
     // scaling): one stats pass + broadcast + map-only quantize. Emitted as

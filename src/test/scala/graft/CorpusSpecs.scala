@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFns
-import graft.operators.{Multimodal, Similarity, TextDedup}
+import graft.operators.{ConnectedComponents, Multimodal, Similarity, TextDedup}
 
 class TextDedupSpec extends AnyFunSuite {
   import TestSpark.spark.implicits._
@@ -808,6 +808,52 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = Multimodal.videoFingerprint(media, 2, 4L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"videoFingerprint must be map-only:\n$plan")
+  }
+
+  test("media near-dup GROUPS: family collapse equals doc-grain pairs -> CC, all modalities") {
+    import TestSpark.spark.implicits._
+    // replication-heavy id set: 3 copies of each planted content key, so
+    // copy-families have size >= 2 and the family collapse actually engages
+    val ids = ((0L until 40L) ++ (250L until 290L) ++ (500L until 540L)).toSeq
+    def docGrain(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      ConnectedComponents.dedupGroups(pairs, "a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    def groupsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    // image: doc-grain pair graph -> CC must equal the family-collapsed form
+    val hashes = Multimodal.dHashFeatures(
+      Multimodal.dhashFixture(ids.toDF("doc_id"), "doc_id"))
+    val gotImage = groupsOf(Multimodal.imageNearDupGroups(hashes, maxHamming = 3))
+    val wantImage = docGrain(Multimodal.imageNearDupPairs(hashes, maxHamming = 3))
+    assert(gotImage === wantImage)
+    assert(gotImage.nonEmpty, "planted image dups must form groups")
+    // exact copies collapse: groups output is one row per doc in the graph
+    assert(gotImage.size === gotImage.map(_._1).size)
+
+    // audio
+    val wav = Multimodal.wavDupFixture(ids.toDF("doc_id"), "doc_id")
+    val afps = Multimodal.audioFingerprint(wav, 8, 4, 32768L, 2)
+    val alv = Multimodal.audioLevels(wav, 8, 4, 32768L)
+    val gotAudio = groupsOf(Multimodal.audioNearDupGroups(afps, alv, 2, 1L))
+    val wantAudio = docGrain(Multimodal.audioNearDupPairs(afps, alv, 2, 1L))
+    assert(gotAudio === wantAudio)
+    assert(gotAudio.nonEmpty, "planted audio dups must form groups")
+
+    // video
+    val y4m = Multimodal.y4mDupFixture(ids.toDF("doc_id"), "doc_id")
+    val vfps = Multimodal.videoFingerprint(y4m, 2, 4L)
+    val vlv = Multimodal.videoLevels(y4m, 4L)
+    val gotVideo = groupsOf(Multimodal.videoNearDupGroups(vfps, vlv, 2, 1L))
+    val wantVideo = docGrain(Multimodal.videoNearDupPairs(vfps, vlv, 2, 1L))
+    assert(gotVideo === wantVideo)
+    assert(gotVideo.nonEmpty, "planted video dups must form groups")
+
+    // each group's canonical member is its minimum id, exactly once
+    for (g <- Seq(gotImage, gotAudio, gotVideo); (gid, members) <- g.groupBy(_._2)) {
+      assert(members.map(_._1).min === gid)
+      assert(members.count(_._3) === 1 && members.find(_._3).get._1 === gid)
+    }
   }
 
   test("resizePnm: hostile tall source must not overflow Int indexing (advice r4)") {
