@@ -81,6 +81,29 @@ object Bench {
       "q_dag_warm" -> (if (ok) dt else -dt)
     }
 
+    // Fixed-work calibration: a deterministic CPU-bound pass over constant
+    // in-memory data — no I/O, no testdata dependency, identical work every
+    // round. Its time measures HOST speed only, so a round-over-round bench
+    // comparison can divide raw per-query deltas by the q_calibration ratio
+    // to cancel uniform machine drift (three rounds running, the first read
+    // of BENCH_rN vs rN-1 was dominated by 10-15% uniform host drift that
+    // had to be reconstructed from medians of untouched queries). Warmed
+    // once like every other line so JIT is excluded.
+    val calibration = {
+      import org.apache.spark.sql.functions._
+      def frame = spark.range(0L, 4000000L, 1L, 64)
+        .select((1 to 8).foldLeft(col("id").cast("string"))((c, _) => md5(c)).as("h"))
+        // decimal sum: 4M xxhash64 longs overflow a BIGINT sum under ANSI
+        .agg(sum(xxhash64(col("h")).cast("decimal(38,0)")).as("s"))
+      try run(frame) catch { case _: Throwable => () }
+      val t0 = System.nanoTime()
+      val ok = try { run(frame); true } catch {
+        case e: Throwable => errors("q_calibration") = sanitize(e); false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      "q_calibration" -> (if (ok) dt else -dt)
+    }
+
     // same attribution split for the shared dedup-group fill (simhash
     // pairs -> iterative CC): q_canonical_selection and q_dedup_groups
     // both read the memoized frame, and the alphabetically-first consumer
@@ -94,7 +117,7 @@ object Bench {
       "q_groups_warm" -> (if (ok) dt else -dt)
     }
 
-    val results = dagWarm +: groupsWarm +: ordered.map { case (name, fn) =>
+    val results = calibration +: dagWarm +: groupsWarm +: ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch {
         case e: Throwable => errors(name) = sanitize(e); false

@@ -10,7 +10,8 @@ import graft.queries.Q
 /** Settle the CC round-count question on the REAL sf0.1 simhash graph
   * (the q_groups_warm workload): run `minLabel` to convergence at several
   * `jumpsPerRound` settings and report rounds + wall seconds for each.
-  * One JSON line to stdout; also appended to CC_ROUNDS.json.
+  * One JSON line to stdout; also written to CC_ROUNDS.json (the file is
+  * OVERWRITTEN — each run is a complete, self-contained measurement).
   *
   * Usage: `runMain graft.CcRoundsProbe [sfDir] [outPath]`
   */

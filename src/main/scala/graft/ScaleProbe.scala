@@ -261,6 +261,10 @@ object ScaleProbe {
           .filter(!col("is_canonical"))
           .select(col("member_id").as("doc_id"))
         val s3 = s2.join(dupDrop, Seq("doc_id"), "left_anti")
+        // the +1e8 eval-id offset below only yields a disjoint id space
+        // while the replicated train ids stay under it
+        require(400L * factor < 100000000L,
+          s"factor $factor would collide replicated ids with the +1e8 eval offset")
         val evalCut = lit(400L * factor)
         val train = s3.filter(col("doc_id") < evalCut)
         val evalDocs = Q.t(spark, sfDir, "documents")

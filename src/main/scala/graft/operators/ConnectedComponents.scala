@@ -149,10 +149,16 @@ object ConnectedComponents {
     // (|E| rows — the big one) is dead weight once the labels converged
     pinnedRdds(e).foreach(_.unpersist(blocking = false))
     lastRounds = round
-    if (!converged) throw new IllegalStateException(
-      s"min-label propagation did not converge within $maxRounds rounds " +
-        "(component diameter exceeds maxRounds); raise maxRounds or use a " +
-        "star-contraction algorithm for this graph")
+    if (!converged) {
+      // error path: no frame handle escapes, so the final round's label
+      // checkpoint would stay pinned forever in a long-lived session —
+      // release it before surfacing the failure
+      prevPinned.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"min-label propagation did not converge within $maxRounds rounds " +
+          "(component diameter exceeds maxRounds); raise maxRounds or use a " +
+          "star-contraction algorithm for this graph")
+    }
     labels
   }
 

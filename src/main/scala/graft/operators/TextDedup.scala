@@ -424,6 +424,12 @@ object TextDedup {
       .select(least(col("__ida"), col("__idb")).as("a_id"),
         greatest(col("__ida"), col("__idb")).as("b_id"), col("jaccard"))
 
-    same.unionByName(cross)
+    // eager: materializing the pair frame here lets the family cache
+    // release instead of occupying executor storage for the session (it
+    // otherwise outlives the call — e.g. through a whole timed bench run
+    // after warmup). Same discipline as imageNearDupPairs/winnowMatches.
+    val out = same.unionByName(cross).localCheckpoint()
+    mem.unpersist()
+    out
   }
 }

@@ -71,28 +71,37 @@ def run_with_deadline(con, sql, timeout):
     SIGALRM at timeout+30s backstops a hang in the Python layer. Returns
     the result df; raises Timeout if the watchdog fired."""
     fired = threading.Event()
+    done = threading.Event()
+    lock = threading.Lock()
 
     def watchdog():
-        fired.set()
-        try:
-            con.interrupt()
-        except Exception:
-            pass
+        # completion-guarded: if the query finished just before the deadline
+        # (between con.sql returning and timer.cancel), do NOT interrupt or
+        # mark a timeout — the computed result is valid and must be kept
+        with lock:
+            if done.is_set():
+                return
+            fired.set()
+            try:
+                con.interrupt()
+            except Exception:
+                pass
 
     timer = threading.Timer(timeout, watchdog)
     timer.start()
     signal.alarm(timeout + 30)
     try:
         df = con.sql(sql).df()
+        with lock:
+            done.set()
     except Exception:
+        # fired is only a timeout when the query actually raised
         if fired.is_set():
             raise Timeout()
         raise
     finally:
         timer.cancel()
         signal.alarm(0)
-    if fired.is_set():
-        raise Timeout()
     return df
 
 
