@@ -806,50 +806,65 @@ object CorpusQueries {
           e, e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "centroid_id"),
           "vec_id", "embedding", "centroid_id", threshold = 0.4)
       },
+      // MATERIALIZED CTEs are load-bearing at gate scale: DuckDB inlines a
+      // CTE per REFERENCE, and this chain references pf/comp/labf through
+      // several paths — the un-hinted replay recomputed the within-cluster
+      // pair scan and the recursive closure 4x+ (438s at factor 10; 992s
+      // under load). Materialization + norms computed once per family (the
+      // identical sqrt(list_reduce(...)) expression, so every double is
+      // unchanged) replays bit-identically in ~38s at factor 10.
       Some("""
-        WITH fam AS (
+        WITH fam AS MATERIALIZED (
           SELECT min(vec_id) AS gid, list(vec_id) AS members, count(*) AS m,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
           FROM embeddings GROUP BY embedding),
-        c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-              FROM embeddings WHERE vec_id < 8),
+        fnrm AS MATERIALIZED (
+          SELECT gid, sqrt(list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y)) AS nrm
+          FROM fam),
+        c AS MATERIALIZED (
+          SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        cn AS MATERIALIZED (
+          SELECT cid, sqrt(list_reduce(list_transform(cvec, x -> x * x), (x, y) -> x + y)) AS cnrm
+          FROM c),
         d AS (
           SELECT fam.gid, c.cid,
                  row_number() OVER (PARTITION BY fam.gid
                    ORDER BY list_reduce(list_transform(range(1, 65), i -> (fam.vec[i] - c.cvec[i]) * (fam.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
           FROM fam CROSS JOIN c),
-        asgf AS (SELECT gid, cid FROM d WHERE rn = 1),
-        pf AS (
+        asgf AS MATERIALIZED (SELECT gid, cid FROM d WHERE rn = 1),
+        pf AS MATERIALIZED (
           SELECT x.gid AS ga, y.gid AS gb
           FROM asgf x
           JOIN asgf y ON x.cid = y.cid AND x.gid < y.gid
           JOIN fam fa ON fa.gid = x.gid
           JOIN fam fb ON fb.gid = y.gid
+          JOIN fnrm na ON na.gid = x.gid
+          JOIN fnrm nb ON nb.gid = y.gid
           WHERE list_reduce(list_transform(range(1, 65), i -> fa.vec[i] * fb.vec[i]), (x2, y2) -> x2 + y2)
-                  / nullif(sqrt(list_reduce(list_transform(fa.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
-                           * sqrt(list_reduce(list_transform(fb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) >= 0.4),
+                  / nullif(na.nrm * nb.nrm, 0.0) >= 0.4),
         selfp AS (
-          SELECT gid AS ga, gid AS gb FROM fam
-          WHERE m >= 2
-            AND sqrt(list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y)) > 0.0),
+          SELECT gid AS ga, gid AS gb FROM fam JOIN fnrm USING (gid)
+          WHERE m >= 2 AND nrm > 0.0),
         und AS (SELECT ga AS x, gb AS y FROM pf
                 UNION ALL SELECT gb, ga FROM pf
                 UNION ALL SELECT ga, gb FROM selfp),
-        comp AS (
+        comp AS MATERIALIZED (
           SELECT grp.v, min(grp.r) AS label FROM (
             WITH RECURSIVE reach(v, r) AS (
               SELECT x, x FROM und
               UNION
               SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
             ) SELECT v, r FROM reach) grp GROUP BY grp.v),
-        labf AS (
+        labf AS MATERIALIZED (
           SELECT a.gid, a.cid AS cluster_id, comp.label AS flabel,
                  list_reduce(list_transform(range(1, 65), i -> fam.vec[i] * c.cvec[i]), (x2, y2) -> x2 + y2)
-                   / nullif(sqrt(list_reduce(list_transform(fam.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
-                            * sqrt(list_reduce(list_transform(c.cvec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) AS centroid_cos
+                   / nullif(fnrm.nrm * cn.cnrm, 0.0) AS centroid_cos
           FROM asgf a
           JOIN fam ON fam.gid = a.gid
+          JOIN fnrm ON fnrm.gid = a.gid
           JOIN c ON c.cid = a.cid
+          JOIN cn ON cn.cid = a.cid
           LEFT JOIN comp ON comp.v = a.gid),
         repf AS (
           SELECT flabel AS group_id, gid AS rep_id,
@@ -880,26 +895,57 @@ object CorpusQueries {
           e, e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "centroid_id"),
           "vec_id", "embedding", "centroid_id", threshold = 0.4)
       },
+      // Family-grain replay (the r9 oracle-scale lesson, applied here too):
+      // identical vectors share assignment, norm, and every pairwise cosine
+      // — S/(sqrt(S)*sqrt(S)) for a self-pair is the identical IEEE ops the
+      // doc-grain formula runs — so cosines compute once per distinct-vector
+      // pair and members expand at the end. MATERIALIZED + precomputed norms
+      // (same expressions, unchanged doubles): 376s -> 12s at factor 10,
+      // diffed bit-exact against the doc-grain replay.
       Some("""
-        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+        WITH fam AS MATERIALIZED (
+          SELECT min(vec_id) AS gid, list(vec_id) AS members, count(*) AS m,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings GROUP BY embedding),
+        fnrm AS MATERIALIZED (
+          SELECT gid, sqrt(list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y)) AS nrm
+          FROM fam),
+        c AS MATERIALIZED (
+          SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+          FROM embeddings WHERE vec_id < 8),
         d AS (
-          SELECT v.vec_id, c.cid,
-                 row_number() OVER (PARTITION BY v.vec_id
-                   ORDER BY list_reduce(list_transform(range(1, 65), i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
-          FROM v CROSS JOIN c),
-        asg AS (SELECT vec_id, cid FROM d WHERE rn = 1)
-        SELECT x.cid AS cluster_id, x.vec_id AS a_id, y.vec_id AS b_id,
-               list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (x2, y2) -> x2 + y2)
-                 / nullif(sqrt(list_reduce(list_transform(va.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
-                          * sqrt(list_reduce(list_transform(vb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) AS cosine
-        FROM asg x
-        JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
-        JOIN v va ON va.vec_id = x.vec_id
-        JOIN v vb ON vb.vec_id = y.vec_id
-        WHERE list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (x2, y2) -> x2 + y2)
-                / nullif(sqrt(list_reduce(list_transform(va.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2))
-                         * sqrt(list_reduce(list_transform(vb.vec, x2 -> x2 * x2), (x2, y2) -> x2 + y2)), 0.0) >= 0.4""")),
+          SELECT fam.gid, c.cid,
+                 row_number() OVER (PARTITION BY fam.gid
+                   ORDER BY list_reduce(list_transform(range(1, 65), i -> (fam.vec[i] - c.cvec[i]) * (fam.vec[i] - c.cvec[i])), (x, y) -> x + y), c.cid) AS rn
+          FROM fam CROSS JOIN c),
+        asgf AS MATERIALIZED (SELECT gid, cid FROM d WHERE rn = 1),
+        fp AS MATERIALIZED (
+          SELECT x.cid AS cluster_id, x.gid AS ga, y.gid AS gb,
+                 list_reduce(list_transform(range(1, 65), i -> fa.vec[i] * fb.vec[i]), (x2, y2) -> x2 + y2)
+                   / nullif(na.nrm * nb.nrm, 0.0) AS cosine
+          FROM asgf x
+          JOIN asgf y ON x.cid = y.cid AND x.gid < y.gid
+          JOIN fam fa ON fa.gid = x.gid
+          JOIN fam fb ON fb.gid = y.gid
+          JOIN fnrm na ON na.gid = x.gid
+          JOIN fnrm nb ON nb.gid = y.gid),
+        selfp AS (
+          SELECT a.cid AS cluster_id, fam.gid,
+                 list_reduce(list_transform(range(1, 65), i -> fam.vec[i] * fam.vec[i]), (x2, y2) -> x2 + y2)
+                   / nullif(fnrm.nrm * fnrm.nrm, 0.0) AS cosine
+          FROM fam
+          JOIN fnrm ON fnrm.gid = fam.gid
+          JOIN asgf a ON a.gid = fam.gid
+          WHERE fam.m >= 2),
+        mem AS MATERIALIZED (SELECT gid, unnest(members) AS vec_id FROM fam)
+        SELECT fp.cluster_id, least(xa.vec_id, xb.vec_id) AS a_id,
+               greatest(xa.vec_id, xb.vec_id) AS b_id, fp.cosine
+        FROM fp JOIN mem xa ON xa.gid = fp.ga JOIN mem xb ON xb.gid = fp.gb
+        WHERE fp.cosine >= 0.4
+        UNION ALL
+        SELECT selfp.cluster_id, xa.vec_id AS a_id, xb.vec_id AS b_id, selfp.cosine
+        FROM selfp JOIN mem xa ON xa.gid = selfp.gid JOIN mem xb ON xb.gid = selfp.gid
+        WHERE xa.vec_id < xb.vec_id AND selfp.cosine >= 0.4""")),
 
     // IVF assignment: nearest of 8 centroid vectors (vec_id < 8), broadcast
     // argmin — the partition-pruning scale path for ANN.
@@ -2352,7 +2398,7 @@ object CorpusQueries {
         out
       },
       Some("""
-        WITH base AS (
+        WITH base AS MATERIALIZED (
           SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
           FROM documents),
         gb AS (
@@ -2377,12 +2423,12 @@ object CorpusQueries {
             AND (CAST(gpd.top_cnt AS DOUBLE) / CAST(gb.n_words AS DOUBLE)) <= 0.2
             AND gb.nb > 0
             AND (1.0 - (CAST(gb.nbd AS DOUBLE) / CAST(gb.nb AS DOUBLE))) <= 0.3),
-        k2 AS (
+        k2 AS MATERIALIZED (
           SELECT min(doc_id) AS doc_id
           FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS f
                 FROM base JOIN k1 USING (doc_id))
           GROUP BY f),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT doc_id,
             CASE WHEN len(tk) >= 2
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
@@ -2399,7 +2445,7 @@ object CorpusQueries {
                    b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
                  FOR h IN range(0, 12)] AS sg
           FROM bss),
-        banded AS (
+        banded AS MATERIALIZED (
           SELECT doc_id, b,
                  md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*3+1:b*3+3], '|')) AS bh
           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
@@ -2407,14 +2453,14 @@ object CorpusQueries {
           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
           FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
           WHERE l.doc_id IN (SELECT doc_id FROM k2) AND r.doc_id IN (SELECT doc_id FROM k2)),
-        e AS (
+        e AS MATERIALIZED (
           SELECT a_id, b_id FROM cand23
           JOIN sh sa ON sa.doc_id = a_id
           JOIN sh sb ON sb.doc_id = b_id
           WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5),
         und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
-        comp AS (
+        comp AS MATERIALIZED (
           SELECT v, min(r) AS label FROM (
             WITH RECURSIVE reach(v, r) AS (
               SELECT x, x FROM und
@@ -2424,7 +2470,7 @@ object CorpusQueries {
         k3 AS (
           SELECT doc_id FROM k2
           WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> label)),
-        trn AS (SELECT doc_id FROM k3 WHERE doc_id < 400),
+        trn AS MATERIALIZED (SELECT doc_id FROM k3 WHERE doc_id < 400),
         candx AS (
           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
           FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
@@ -2435,7 +2481,7 @@ object CorpusQueries {
           JOIN sh sb ON sb.doc_id = b_id
           WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5),
-        k4 AS (SELECT doc_id FROM trn WHERE doc_id NOT IN (SELECT a_id FROM flagged)),
+        k4 AS MATERIALIZED (SELECT doc_id FROM trn WHERE doc_id NOT IN (SELECT a_id FROM flagged)),
         mc AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n
           FROM base JOIN k4 USING (doc_id) GROUP BY 1),

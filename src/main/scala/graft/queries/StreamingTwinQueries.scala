@@ -95,47 +95,64 @@ object StreamingTwinQueries {
           family = TextDedup.HexMd5)
         StreamingNearDup.matchBatch(docs.filter(pb >= 90), "doc_id", "text", index)
       },
+      // Family-grain replay (the r9 oracle-scale lesson): the minhash chain,
+      // banding, and jaccard verify all depend only on TEXT, while the
+      // corpus/batch split depends only on the doc_id md5 bucket — so the
+      // chain runs once per distinct text and member expansion assigns
+      // roles by bucket at the end (both (test-family, corpus-family)
+      // orientations of each unordered family pair; same-family pairs are
+      // the same exact-jaccard expression on identical sets). Diffed
+      // bit-exact against the doc-grain replay at factor 10: 123s -> 8.8s.
       Some("""
-        WITH b AS (
+        WITH pbv AS MATERIALIZED (
           SELECT doc_id, text,
                  CAST(list_reduce(list_transform(range(1, 9),
                      k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
                    (a, x) -> a + x) AS BIGINT) % 100 AS pb
           FROM documents),
-        sh AS (
-          SELECT doc_id, pb,
+        fam AS MATERIALIZED (SELECT text, min(doc_id) AS gid FROM pbv GROUP BY text),
+        memb AS MATERIALIZED (
+          SELECT fam.gid, pbv.doc_id, pbv.pb FROM pbv JOIN fam ON fam.text = pbv.text
+          WHERE pbv.pb < 80 OR pbv.pb >= 90),
+        shf AS MATERIALIZED (
+          SELECT gid,
             CASE WHEN len(tk) >= 2
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
                  ELSE [] END AS s
-          FROM (SELECT doc_id, pb, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM b)
-          WHERE pb < 80 OR pb >= 90),
-        bases AS (
-          SELECT doc_id, pb, list_transform(s, x ->
+          FROM (SELECT gid, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM fam)),
+        basesf AS (
+          SELECT gid, list_transform(s, x ->
             CAST(list_reduce(list_transform(range(1, 8),
                 k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1) * 16^(7-k)),
               (a, b) -> a + b) AS BIGINT)) AS bs
-          FROM sh WHERE len(s) > 0),
-        sig AS (
-          SELECT doc_id, pb, [list_min(list_transform(bs,
+          FROM shf WHERE len(s) > 0),
+        sigf AS (
+          SELECT gid, [list_min(list_transform(bs,
                    b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
                  FOR h IN range(0, 12)] AS sg
-          FROM bases),
-        banded AS (
-          SELECT doc_id, pb, bd,
+          FROM basesf),
+        bandedf AS MATERIALIZED (
+          SELECT gid, bd,
                  md5(CAST(bd AS VARCHAR) || '|' || array_to_string(sg[bd*3+1:bd*3+3], '|')) AS bh
-          FROM sig, (SELECT unnest(range(0, 4)) AS bd)),
-        cand AS (
-          SELECT DISTINCT bt.doc_id AS doc_id, c.doc_id AS corpus_id
-          FROM banded bt JOIN banded c ON bt.bd = c.bd AND bt.bh = c.bh
-          WHERE bt.pb >= 90 AND c.pb < 80)
-        SELECT cand.doc_id, cand.corpus_id,
-               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                 / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = cand.doc_id
-        JOIN sh sb ON sb.doc_id = cand.corpus_id
-        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) >= 0.5""")),
+          FROM sigf, (SELECT unnest(range(0, 4)) AS bd)),
+        famcand AS (
+          SELECT DISTINCT a.gid AS ga, b.gid AS gb
+          FROM bandedf a JOIN bandedf b ON a.bd = b.bd AND a.bh = b.bh AND a.gid <= b.gid),
+        pass AS MATERIALIZED (
+          SELECT fc.ga, fc.gb,
+                 CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) AS jaccard
+          FROM famcand fc JOIN shf sa ON sa.gid = fc.ga JOIN shf sb ON sb.gid = fc.gb
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) AS DOUBLE) >= 0.5)
+        SELECT t.doc_id, c.doc_id AS corpus_id, p.jaccard
+        FROM pass p JOIN memb t ON t.gid = p.ga AND t.pb >= 90
+                    JOIN memb c ON c.gid = p.gb AND c.pb < 80
+        UNION ALL
+        SELECT t.doc_id, c.doc_id AS corpus_id, p.jaccard
+        FROM pass p JOIN memb t ON t.gid = p.gb AND t.pb >= 90
+                    JOIN memb c ON c.gid = p.ga AND c.pb < 80
+        WHERE p.ga <> p.gb""")),
 
     // The (keys, event-time)-scoped suppression relation of the streaming
     // dedup sink (streaming/StreamingDedup.scala): a published target of

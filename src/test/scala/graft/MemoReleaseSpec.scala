@@ -41,6 +41,34 @@ class MemoReleaseSpec extends AnyFunSuite {
     CorpusQueries.releaseMemos(spark, dir)
   }
 
+  test("long-lived service soak: query cycles across two corpus dirs return storage to baseline") {
+    // A long-lived QueryService session serves many corpora over days; each
+    // (session, dir) memo family must be releasable so storage does not
+    // ratchet up cycle over cycle. Compose both memo families (vault DAG +
+    // corpus groups) with real consumer queries per cycle and assert the
+    // persistent-RDD census returns to baseline after every cycle's release.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val consumers =
+      Seq("q_dag_fct_transactions", "q_dag_dim_asset", "q_dedup_groups",
+        "q_canonical_selection", "q_svc_kpi")
+    val qs = SparkEntry.queries
+    dirs.foreach { d =>
+      CorpusQueries.releaseMemos(spark, d); DagQueries.releaseMemos(spark, d)
+    }
+    val baseline = cachedRdds
+    for (cycle <- 1 to 3; d <- dirs) {
+      consumers.foreach(q =>
+        qs(q)(spark, d).write.format("noop").mode("overwrite").save())
+      assert(cachedRdds > baseline,
+        s"cycle $cycle $d: consumer queries must have pinned memo frames")
+      CorpusQueries.releaseMemos(spark, d)
+      DagQueries.releaseMemos(spark, d)
+      assert(cachedRdds == baseline,
+        s"cycle $cycle $d: release must return the persistent-RDD census " +
+          s"to baseline ($baseline), not ratchet upward")
+    }
+  }
+
   test("DagQueries.releaseMemos returns the shared vault cache to baseline") {
     DagQueries.releaseMemos(spark, dir)
     val baseline = cachedRdds
