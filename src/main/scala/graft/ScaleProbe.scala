@@ -212,6 +212,15 @@ object ScaleProbe {
       Multimodal.videoFingerprint(vMedia, bandFrames = 2, qStep = 4L),
       Multimodal.videoLevels(vMedia, qStep = 4L),
       minBands = 2, maxLevelDiff = 1L))
+    // The GROUPS contract at FULL factor — the scale-safe alternative the
+    // pair stage cannot offer: family collapse on the level contour bounds
+    // the banded join and the connected components by distinct-content
+    // count, and the output is one row per doc in the near-dup graph
+    // (LINEAR in corpus size) where pairs would be C(family,2)-quadratic.
+    stage("video_neardup_group_rows")(Multimodal.videoNearDupGroups(
+      Multimodal.videoFingerprint(vids, bandFrames = 2, qStep = 4L),
+      Multimodal.videoLevels(vids, qStep = 4L),
+      minBands = 2, maxLevelDiff = 1L))
 
     // Round-7 operators: mixing schedule must stay map-only-flat at any
     // factor; hard negatives is anchors x corpus with the band filter

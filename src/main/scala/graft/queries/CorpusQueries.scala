@@ -1577,13 +1577,32 @@ object CorpusQueries {
         Multimodal.dHashFeatures(
           Multimodal.dhashFixture(t(s, dir, "documents"), "doc_id")),
         maxHamming = 3),
-      Some(DHashSql + """
-        SELECT a.doc_id AS a_id, c.doc_id AS b_id,
-               CAST(bit_count(xor(a.dhash_hi, c.dhash_hi))
-                    + bit_count(xor(a.dhash_lo, c.dhash_lo)) AS INT) AS hamming
-        FROM ph a JOIN ph c ON a.doc_id < c.doc_id
-        WHERE bit_count(xor(a.dhash_hi, c.dhash_hi))
-              + bit_count(xor(a.dhash_lo, c.dhash_lo)) <= 3""")),
+      // Family-grain replay (the r9 oracle-scale lesson): hamming depends
+      // only on the hash words, so the all-pairs scan runs once per
+      // distinct hash and members expand at the end (same-family pairs are
+      // hamming 0 by identity) — diffed row-exact against the doc-grain
+      // brute force at factor 10 (66s -> 4s; doc-grain grows quadratically
+      // with replication, family-grain only in its expanded OUTPUT).
+      Some(DHashSql + """,
+        fam AS MATERIALIZED (
+          SELECT min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m,
+                 dhash_hi, dhash_lo
+          FROM ph GROUP BY dhash_hi, dhash_lo),
+        fp AS MATERIALIZED (
+          SELECT a.gid AS ga, c.gid AS gb,
+                 CAST(bit_count(xor(a.dhash_hi, c.dhash_hi))
+                      + bit_count(xor(a.dhash_lo, c.dhash_lo)) AS INT) AS hamming
+          FROM fam a JOIN fam c ON a.gid < c.gid
+          WHERE bit_count(xor(a.dhash_hi, c.dhash_hi))
+                + bit_count(xor(a.dhash_lo, c.dhash_lo)) <= 3),
+        mem AS MATERIALIZED (SELECT gid, unnest(members) AS doc_id FROM fam)
+        SELECT least(xa.doc_id, xb.doc_id) AS a_id,
+               greatest(xa.doc_id, xb.doc_id) AS b_id, fp.hamming
+        FROM fp JOIN mem xa ON xa.gid = fp.ga JOIN mem xb ON xb.gid = fp.gb
+        UNION ALL
+        SELECT xa.doc_id AS a_id, xb.doc_id AS b_id, CAST(0 AS INT) AS hamming
+        FROM fam JOIN mem xa ON xa.gid = fam.gid JOIN mem xb ON xb.gid = fam.gid
+        WHERE fam.m >= 2 AND xa.doc_id < xb.doc_id""")),
 
     // Windowed audio energy contour (frame 8 / hop 4 over the same PCM16
     // fixture): the VAD/silence-trim front-end. Overlapping hops and a
