@@ -20,12 +20,20 @@ import graft.queries.Q
   */
 object ScaleProbe {
 
+  private def readLoad1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outPath = args.lift(2).getOrElse("/root/repo/SCALE_PROBE.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // host-idleness evidence: load1 at START is the contamination signal;
+    // load1 at END is self-inflicted by the probe's own 32-thread saturation
+    // and must not be read as a loaded host
+    val load1Start = readLoad1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -309,14 +317,13 @@ object ScaleProbe {
       System.err.println(f"[probe] training_cascade_total ${sec}%.1fs")
     }
 
-    val load1 =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    val load1End = readLoad1()
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val body = stages.map { case (n, c, s) =>
       s"""\"$n\":{\"rows\":$c,\"sec\":${f(s)}}""" }.mkString(",")
     val json =
-      s"""{"sf_dir":"$sfDir","factor":$factor,"cpus":$cpus,"load1":${f(load1)},""" +
+      s"""{"sf_dir":"$sfDir","factor":$factor,"cpus":$cpus,""" +
+        s""""load1_start":${f(load1Start)},"load1_end":${f(load1End)},""" +
         s""""cc_rounds":$ccRounds,"ivf_max_cluster":$maxCluster,"stages":{$body}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), json + "\n")
