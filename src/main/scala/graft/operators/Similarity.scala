@@ -250,16 +250,39 @@ object Similarity {
       .select(col(idCol), toDouble(col(vecCol)).as("__v"), col("cluster_id"))
     val cvecs = centroids.select(
       col(centroidIdCol).as("cluster_id"), toDouble(col(vecCol)).as("__cv"))
-    val pairs = ivfNearDupPairs(
-      embeddings, centroids, idCol, vecCol, centroidIdCol, threshold)
+    // Family collapse (the engine-side twin of the oracle's r9 rewrite):
+    // identical vectors share an assignment, a pairwise cosine of 1.0, and
+    // a centroid cosine, so the CC edge set is built at distinct-VECTOR
+    // grain — cross-family pairs are verified once per family pair, and a
+    // nonzero-norm multi-member family enters the closure as a self-loop
+    // (at doc grain it is internally a clique for any threshold <= 1;
+    // zero-norm families have every pairwise cosine NULL, so their members
+    // stay singletons). Family gid = min member id, so the family-grain
+    // min-label closure expands to exactly the doc-grain labels. Without
+    // this the within-cluster verify and the edge list are C(f,2)-quadratic
+    // in copy-family size f on duplicate-saturated corpora: the factor-50
+    // spot gate measured the doc-grain engine wall at 164.6s vs 31.7s at
+    // factor 20 — superlinear purely from replicated-vector pair inflation.
+    val fam = embeddings
+      .select(col(idCol).as("__mid"), toDouble(col(vecCol)).as("__fv"))
+      .groupBy(col("__fv"))
+      .agg(min(col("__mid")).as("__fid"), count(lit(1)).as("__m"))
+    val famReps = fam.select(col("__fid").as(idCol), col("__fv").as(vecCol))
+    val crossEdges = ivfNearDupPairs(
+      famReps, centroids, idCol, vecCol, centroidIdCol, threshold)
+      .select(col("a_id"), col("b_id"))
+    val selfLoops = fam
+      .filter(col("__m") >= 2 && norm(col("__fv")) > lit(0.0))
+      .select(col("__fid").as("a_id"), col("__fid").as("b_id"))
     val groups = graft.operators.ConnectedComponents
-      .minLabel(pairs, "a_id", "b_id", maxRounds)
+      .minLabel(crossEdges.unionByName(selfLoops), "a_id", "b_id", maxRounds)
     val labeled = assigned
       .join(broadcast(cvecs), Seq("cluster_id"))
       .withColumn("centroid_cos",
         dot(col("__v"), col("__cv")) /
           nullif(norm(col("__v")) * norm(col("__cv")), lit(0.0)))
-      .join(groups.select(col("v").as(idCol), col("label")), Seq(idCol), "left")
+      .join(fam.select(col("__fv").as("__v"), col("__fid")), Seq("__v"))
+      .join(groups.select(col("v").as("__fid"), col("label")), Seq("__fid"), "left")
       .withColumn("group_id", coalesce(col("label"), col(idCol)))
     // coalesce before the min-struct: a zero-norm vector's cosine is null,
     // and null-ordering differs across engines (Spark NULLS FIRST, most
