@@ -103,6 +103,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       "q_calibration" -> (if (ok) dt else -dt)
     }
+    // Idle-host reference for q_calibration on THIS host class, recorded
+    // from the r10 final-HEAD idle bench (BENCH_IDLE_r10.json). The emitted
+    // calibration_ratio_vs_idle = this run's q_calibration / this constant
+    // reads contamination directly: ~1.0 = idle-equivalent host, >> 1 =
+    // divide raw per-query deltas by the ratio before comparing rounds.
+    val calibrationIdleRefSec = 0.599
 
     // same attribution split for the shared dedup-group fill (simhash
     // pairs -> iterative CC): q_canonical_selection and q_dedup_groups
@@ -167,7 +173,9 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
-        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1_start":${f2(load1Start)},"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"errors":$errJson,"queries":$detail}""" + "\n")
+        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1_start":${f2(load1Start)},"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"calibration_ratio_vs_idle":${
+          if (calibration._2 > 0) f(calibration._2 / calibrationIdleRefSec) else "-1"
+        },"errors":$errJson,"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
     println(fits.getOrElse(line(Seq.empty, total)))

@@ -27,4 +27,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registered.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+
+  /** Scale-gate policy, read from the registry (see [[graft.queries.Q]]):
+    * name -> (max replication factor the query is value-gated at, reason).
+    * Queries absent here gate at every factor. The replicated-corpus gate
+    * tooling (Verify + tools/check_timed.py) consumes this instead of
+    * carrying skip lists in invocation notes.
+    */
+  def scalePolicy: Map[String, (Int, String)] =
+    registered.flatMap(q =>
+      q.maxGateFactor.map(f => q.name -> (f, q.gatePolicyReason.getOrElse("")))).toMap
 }

@@ -10,7 +10,17 @@ object Verify {
     // the driver always calls with 2 args = full run)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    def keep(name: String) = only.forall(_.contains(name))
+    // Replicated-corpus gate factor (SPARK_GRAFT_GATE_FACTOR, default 1 =
+    // the driver's unreplicated run): queries whose registry scale policy
+    // caps below it are skipped ENGINE-side too (their quadratic pair
+    // OUTPUT is the thing being policy-skipped), and the policy is dumped
+    // beside oracle_sql.json for check_timed.py to record. The dump only
+    // happens for factor > 1 so the driver's own outDir layout is unchanged.
+    val gateFactor = sys.env.get("SPARK_GRAFT_GATE_FACTOR").map(_.toInt).getOrElse(1)
+    val policy = SparkEntry.scalePolicy
+    def policySkip(name: String): Boolean =
+      policy.get(name).exists(_._1 < gateFactor)
+    def keep(name: String) = only.forall(_.contains(name)) && !policySkip(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -53,6 +63,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF}", sfName))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (gateFactor > 1) {
+      SparkEntry.scalePolicy.foreach { case (name, (f, _)) =>
+        if (f < gateFactor)
+          System.err.println(s"[verify] $name policy-skip at factor $gateFactor (max $f)")
+      }
+      val pj = SparkEntry.scalePolicy.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
+        s"${q(k)}: {${q("max_gate_factor")}: $f, ${q("reason")}: ${q(r)}}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/scale_policy.json"),
+        s"""{"gate_factor": $gateFactor, "policy": $pj}""")
+    }
     spark.stop()
   }
 }

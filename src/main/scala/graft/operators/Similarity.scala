@@ -271,17 +271,32 @@ object Similarity {
     val crossEdges = ivfNearDupPairs(
       famReps, centroids, idCol, vecCol, centroidIdCol, threshold)
       .select(col("a_id"), col("b_id"))
+    // the self-loop is gated on the COMPUTED self-cosine — the exact IEEE
+    // expression the doc-grain verify would run for an identical pair
+    // (dot(v,v)/(sqrt(S)*sqrt(S)) can round a hair below 1.0, so a
+    // norm>0 gate would over-group at threshold = 1.0); zero-norm vectors
+    // give a NULL cosine and stay singletons, as at doc grain
     val selfLoops = fam
-      .filter(col("__m") >= 2 && norm(col("__fv")) > lit(0.0))
+      .filter(col("__m") >= 2 &&
+        dot(col("__fv"), col("__fv")) /
+          nullif(norm(col("__fv")) * norm(col("__fv")), lit(0.0)) >= threshold)
       .select(col("__fid").as("a_id"), col("__fid").as("b_id"))
     val groups = graft.operators.ConnectedComponents
       .minLabel(crossEdges.unionByName(selfLoops), "a_id", "b_id", maxRounds)
     val labeled = assigned
-      .join(broadcast(cvecs), Seq("cluster_id"))
+      // LEFT: a NULL vector argmins to the cluster_id -1 sentinel (and an
+      // empty centroid table to null), which matches no centroid row — an
+      // inner join would silently drop such rows instead of carrying them
+      // through as null-cosine singletons
+      .join(broadcast(cvecs), Seq("cluster_id"), "left")
       .withColumn("centroid_cos",
         dot(col("__v"), col("__cv")) /
           nullif(norm(col("__v")) * norm(col("__cv")), lit(0.0)))
-      .join(fam.select(col("__fv").as("__v"), col("__fid")), Seq("__v"))
+      // LEFT: a NULL embedding vector never equi-joins (null keys don't
+      // match), so an inner join would silently drop such rows — they fall
+      // through both joins here and land as singletons (group_id = own id,
+      // null centroid_cos, kept), the same contract zero-norm vectors get
+      .join(fam.select(col("__fv").as("__v"), col("__fid")), Seq("__v"), "left")
       .join(groups.select(col("v").as("__fid"), col("label")), Seq("__fid"), "left")
       .withColumn("group_id", coalesce(col("label"), col(idCol)))
     // coalesce before the min-struct: a zero-norm vector's cosine is null,

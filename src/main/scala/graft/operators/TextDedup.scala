@@ -229,6 +229,18 @@ object TextDedup {
     * Scale note: the eval side is typically tiny (benchmark suites) — its
     * capped banded frame broadcasts, so the training corpus is touched by
     * one map-side join plus the verify probes.
+    *
+    * Runs internally at FAMILY grain (the r9 lesson, applied engine-side):
+    * every stage — shingles, minhash signature, band hashes, exact-Jaccard
+    * verify — is a pure function of the text, so docs with identical text
+    * on a side form a lossless family. Banding, the bucket cap (counted
+    * member-WEIGHTED, sum of family sizes, so cap behavior is byte-identical
+    * to the doc-grain formulation), candidate generation, and verification
+    * all run once per distinct text per side; family pairs expand to doc
+    * pairs at the end. On a duplicate-saturated corpus (replication factor
+    * f) the doc-grain candidate set grows f²-quadratically — only the
+    * OUTPUT is inherently f²-sized here, and expansion produces it from
+    * base-bounded verify work.
     */
   def crossCorpusDupPairs(
       left: DataFrame,
@@ -246,28 +258,69 @@ object TextDedup {
       bandedSignatures(df, idCol, TextFns.wordShingles(toks, shingleWords),
         bands, rowsPerBand, family)
     }
-    val cands = capBuckets(bandedOf(left), bucketCap)
-      .select(col("band"), col("band_hash"), col(idCol).as("a_id"))
-      .join(capBuckets(bandedOf(right), bucketCap)
-        .select(col("band"), col("band_hash"), col(idCol).as("b_id")),
+    // per-SIDE families (the same text may appear on both sides — its two
+    // side-families then pair through banding + verify at jaccard 1.0,
+    // exactly as the doc-grain pairs did)
+    def famOf(df: DataFrame): DataFrame = df
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__m"))
+    val famL = famOf(left).persist()
+    val famR = famOf(right).persist()
+    def repsOf(fam: DataFrame): DataFrame =
+      fam.select(col("__gid").as(idCol), col(textCol))
+    // the cap must drop a bucket when its DOC population (sum of member
+    // counts), not its family count, exceeds bucketCap — identical output
+    // to capBuckets on the doc-grain banded frame
+    def cappedW(fam: DataFrame): DataFrame = {
+      val banded = bandedOf(repsOf(fam))
+        .join(fam.select(col("__gid").as(idCol), col("__m")), Seq(idCol))
+      val over = banded
+        .groupBy(col("band"), col("band_hash"))
+        .agg(sum(col("__m")).as("__n"))
+        .filter(col("__n") > bucketCap)
+        .select(col("band"), col("band_hash"))
+      banded.join(over, Seq("band", "band_hash"), "left_anti")
+    }
+    val cands = cappedW(famL)
+      .select(col("band"), col("band_hash"), col(idCol).as("__ga"))
+      .join(cappedW(famR)
+        .select(col("band"), col("band_hash"), col(idCol).as("__gb")),
         Seq("band", "band_hash"))
+      .select(col("__ga"), col("__gb"))
+      .distinct()
+    val aSets = hashedNgramSets(repsOf(famL), idCol, Seq(),
+      TextFns.tokens(col(textCol)), shingleWords)
+      .select(col(idCol).as("__ga"), col("__set").as("__sa"))
+    val bSets = hashedNgramSets(repsOf(famR), idCol, Seq(),
+      TextFns.tokens(col(textCol)), shingleWords)
+      .select(col(idCol).as("__gb"), col("__set").as("__sb"))
+    val famPairs = cands
+      .join(aSets, Seq("__ga"))
+      .join(bSets, Seq("__gb"))
+      .withColumn("__i", IntersectCardSorted(col("__sa"), col("__sb")))
+      .withColumn("jaccard", jaccardFromInter(col("__i"), size(col("__sa")), size(col("__sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__ga"), col("__gb"), col("jaccard"))
+    val memL = left.select(col(idCol).as("a_id"), col(textCol))
+      .join(famL.select(col(textCol), col("__gid").as("__ga")), Seq(textCol))
+      .select(col("a_id"), col("__ga"))
+    val memR = right.select(col(idCol).as("b_id"), col(textCol))
+      .join(famR.select(col(textCol), col("__gid").as("__gb")), Seq(textCol))
+      .select(col("b_id"), col("__gb"))
+    val out = famPairs
+      .join(memL, Seq("__ga"))
+      .join(memR, Seq("__gb"))
       // guard against overlapping id spaces between the two corpora (or the
       // same frame passed twice): a doc must never flag itself as its own
       // contamination — the self-join form's a < b discipline, adapted
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    val aSets = hashedNgramSets(left, idCol, Seq(), TextFns.tokens(col(textCol)), shingleWords)
-      .select(col(idCol).as("a_id"), col("__set").as("__sa"))
-    val bSets = hashedNgramSets(right, idCol, Seq(), TextFns.tokens(col(textCol)), shingleWords)
-      .select(col(idCol).as("b_id"), col("__set").as("__sb"))
-    cands
-      .join(aSets, Seq("a_id"))
-      .join(bSets, Seq("b_id"))
-      .withColumn("__i", IntersectCardSorted(col("__sa"), col("__sb")))
-      .withColumn("jaccard", jaccardFromInter(col("__i"), size(col("__sa")), size(col("__sb"))))
-      .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+      // eager: release the family caches at return instead of leaking them
+      // for the session (blockedJaccardPairs discipline)
+      .localCheckpoint()
+    famL.unpersist()
+    famR.unpersist()
+    out
   }
 
   /** End-to-end MinHash-LSH near-dup pairs on a text column. */

@@ -393,9 +393,13 @@ object CorpusQueries {
 
   /** The shared family-grain groups tail for the contour (audio/video)
     * near-dup GROUPS oracles: appended to [[AudioFpSql]]/[[VideoFpSql]]
-    * (uses their `lv` + `bd` CTEs). Family = identical ordered level
-    * contour (band signatures derive from the contour, so the pair
-    * relation is a pure function of the two contours — lossless, the
+    * (uses their `lv` + `bd` CTEs). Family = identical ordered
+    * (frame_idx, level) contour — the key serializes BOTH fields, matching
+    * the engine's `frame_idx:level` family key exactly, so two docs with
+    * equal level sequences on different frame grids never family-collapse
+    * here while failing to pair at doc grain (band signatures derive from
+    * the contour, so the pair relation is a pure function of the two
+    * contours — lossless, the
     * [[SimhashFamilyCompSql]] pattern): candidates + verify replay at
     * family grain, multi-member families with >= 2 bands enter the
     * closure via a self-loop (identical clips DO pair), and member
@@ -403,7 +407,8 @@ object CorpusQueries {
     * a doc-grain closure would be quadratic on replicated gate corpora.
     */
   private val ContourGroupsSql = """,
-        ck AS (SELECT doc_id, list(level ORDER BY frame_idx) AS key FROM lv GROUP BY doc_id),
+        ck AS (SELECT doc_id, list(frame_idx::VARCHAR || ':' || level::VARCHAR ORDER BY frame_idx) AS key
+               FROM lv GROUP BY doc_id),
         fam AS (SELECT min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m
                 FROM ck GROUP BY key),
         fb AS (SELECT bd.* FROM bd JOIN fam ON bd.doc_id = fam.gid),
@@ -644,53 +649,96 @@ object CorpusQueries {
           FROM fver f JOIN mems x ON x.gid = f.ga JOIN mems y ON y.gid = f.gb)
         SELECT * FROM same UNION ALL SELECT * FROM crossed""")),
 
-    // Cross-corpus MinHash decontamination: training docs (doc_id < 250)
-    // that fuzzily duplicate eval docs (doc_id >= 250) — the near-dup
-    // complement of exact n-gram q_decontam. Banded candidates joined
-    // LEFT x RIGHT, exact-Jaccard verify; downstream strips a_id by
+    // Cross-corpus MinHash decontamination: training docs (the lower half
+    // of the id space) that fuzzily duplicate eval docs (the upper half) —
+    // the near-dup complement of exact n-gram q_decontam. Banded candidates
+    // joined LEFT x RIGHT, exact-Jaccard verify; downstream strips a_id by
     // left_anti. Oracle replays banding and verify across the same split.
+    //
+    // The cut is the corpus MEDIAN (doc_id*2 < count), not a literal: under
+    // ScaleGen's disjoint-copy remap (doc_id*factor+k, k < factor) the
+    // median of the replicated id space maps EXACTLY back to the base
+    // median — base*factor+k < n*factor/2 iff base < n/2 — so every base
+    // doc's copies land whole on one side and cross-split near-dups survive
+    // replication at any factor (a fixed 250 cut degenerated to copies of
+    // base docs 0-4 at factor 50: a 0-row gate row). At the driver's
+    // sf0.01/sf0.001 (500 docs) the median IS 250, so the base gate row is
+    // byte-identical to the fixed-cut era. The count is an in-plan
+    // broadcast scalar, never a collect.
     Q("q_cross_neardup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("__n"))
+        val d = docs.crossJoin(broadcast(n))
         TextDedup.crossCorpusDupPairs(
-          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          d.filter(col("doc_id") * 2 < col("__n")).drop("__n"),
+          d.filter(col("doc_id") * 2 >= col("__n")).drop("__n"),
           "doc_id", "text", shingleWords = 2, bands = 4, rowsPerBand = 3,
           threshold = 0.5, family = TextDedup.HexMd5)
       },
+      // Family-grain replay (r9 oracle-scale lesson, applied from the start
+      // for the factor-aware split): every stage is a pure function of the
+      // text, so per-SIDE identical-text families band, cap (member-
+      // weighted sum(m) — replaying the engine's doc-count bucket cap
+      // exactly), and verify once per distinct text; members expand at the
+      // end. The doc-grain replay measured 425s at factor 10 on the median
+      // split (candidates f²-quadratic on the replicated corpus) — this
+      // form keeps the verify base-bounded and only the OUTPUT scales f².
       Some("""
-        WITH sh AS (
-          SELECT doc_id,
+        WITH famL AS MATERIALIZED (
+          SELECT min(doc_id) AS gid, count(*) AS m, list(doc_id) AS members, text
+          FROM documents WHERE doc_id * 2 < (SELECT count(*) FROM documents)
+          GROUP BY text),
+        famR AS MATERIALIZED (
+          SELECT min(doc_id) AS gid, count(*) AS m, list(doc_id) AS members, text
+          FROM documents WHERE doc_id * 2 >= (SELECT count(*) FROM documents)
+          GROUP BY text),
+        reps AS (SELECT gid AS doc_id, m, true AS isl, text FROM famL
+                 UNION ALL
+                 SELECT gid, m, false, text FROM famR),
+        sh AS MATERIALIZED (
+          SELECT doc_id, m, isl,
             CASE WHEN len(tk) >= 2
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
                  ELSE [] END AS s
-          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents)),
+          FROM (SELECT doc_id, m, isl, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM reps)),
         bases AS (
-          SELECT doc_id, list_transform(s, x ->
+          SELECT doc_id, m, isl, list_transform(s, x ->
             CAST(list_reduce(list_transform(range(1, 8),
                 k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1) * 16^(7-k)),
               (a, b) -> a + b) AS BIGINT)) AS bs
           FROM sh WHERE len(s) > 0),
         sig AS (
-          SELECT doc_id, [list_min(list_transform(bs,
+          SELECT doc_id, m, isl, [list_min(list_transform(bs,
                    b -> (((1103515245 * (h+1)) % 2147483647) * b + 12345 * (h+1)) % 2147483647))
                  FOR h IN range(0, 12)] AS sg
           FROM bases),
-        banded AS (
-          SELECT doc_id, b,
+        banded AS MATERIALIZED (
+          SELECT doc_id, m, isl, b,
                  md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*3+1:b*3+3], '|')) AS bh
           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        ovr AS (
+          SELECT isl, b, bh FROM banded GROUP BY 1, 2, 3 HAVING sum(m) > 1000),
+        capped AS MATERIALIZED (
+          SELECT banded.* FROM banded ANTI JOIN ovr USING (isl, b, bh)),
         cand AS (
-          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
-          WHERE l.doc_id < 250 AND r.doc_id >= 250)
-        SELECT a_id, b_id,
-               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                 / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = a_id
-        JOIN sh sb ON sb.doc_id = b_id
-        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5""")),
+          SELECT DISTINCT l.doc_id AS ga, r.doc_id AS gb
+          FROM capped l JOIN capped r ON l.b = r.b AND l.bh = r.bh
+          WHERE l.isl AND NOT r.isl),
+        fver AS (
+          SELECT ga, gb,
+                 CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) AS jaccard
+          FROM cand
+          JOIN sh sa ON sa.doc_id = ga
+          JOIN sh sb ON sb.doc_id = gb
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5)
+        SELECT x.mid AS a_id, y.mid AS b_id, f.jaccard
+        FROM fver f
+        JOIN (SELECT gid, unnest(members) AS mid FROM famL) x ON x.gid = f.ga
+        JOIN (SELECT gid, unnest(members) AS mid FROM famR) y ON y.gid = f.gb
+        WHERE x.mid <> y.mid""")),
 
     // The Xx64 MinHash family — the 100 TB headline path (one xxhash64 per
     // shingle instead of an md5, ~10x cheaper): same banding/verify
@@ -844,8 +892,13 @@ object CorpusQueries {
           WHERE list_reduce(list_transform(range(1, 65), i -> fa.vec[i] * fb.vec[i]), (x2, y2) -> x2 + y2)
                   / nullif(na.nrm * nb.nrm, 0.0) >= 0.4),
         selfp AS (
+          -- gate on the COMPUTED self-cosine (S/(sqrt(S)*sqrt(S)), the
+          -- identical IEEE ops the engine's doc-grain verify runs for an
+          -- exact-copy pair), not norm > 0: at threshold = 1.0 the rounded
+          -- self-cosine can dip below 1, and the engine gates the same way
           SELECT gid AS ga, gid AS gb FROM fam JOIN fnrm USING (gid)
-          WHERE m >= 2 AND nrm > 0.0),
+          WHERE m >= 2 AND list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y)
+                  / nullif(nrm * nrm, 0.0) >= 0.4),
         und AS (SELECT ga AS x, gb AS y FROM pf
                 UNION ALL SELECT gb, ga FROM pf
                 UNION ALL SELECT ga, gb FROM selfp),
@@ -1602,7 +1655,12 @@ object CorpusQueries {
         UNION ALL
         SELECT xa.doc_id AS a_id, xb.doc_id AS b_id, CAST(0 AS INT) AS hamming
         FROM fam JOIN mem xa ON xa.gid = fam.gid JOIN mem xb ON xb.gid = fam.gid
-        WHERE fam.m >= 2 AND xa.doc_id < xb.doc_id""")),
+        WHERE fam.m >= 2 AND xa.doc_id < xb.doc_id"""),
+      maxGateFactor = Some(20),
+      gatePolicyReason = Some("pair OUTPUT is C(factor,2)-quadratic per " +
+        "copy-family on replicated corpora (5.3M rows at factor 10, 14.2M " +
+        "at factor 20 — value-gated through 20); q_image_phash_groups is " +
+        "the linear scale contract and is value-gated at factor 50")),
 
     // Windowed audio energy contour (frame 8 / hop 4 over the same PCM16
     // fixture): the VAD/silence-trim front-end. Overlapping hops and a
@@ -1675,7 +1733,12 @@ object CorpusQueries {
         SELECT ver.* FROM ver
         JOIN nfr na ON na.doc_id = ver.a_id
         JOIN nfr nb ON nb.doc_id = ver.b_id
-        WHERE na.nf = nb.nf AND ver.n_frames = na.nf AND ver.max_level_diff <= 1""")),
+        WHERE na.nf = nb.nf AND ver.n_frames = na.nf AND ver.max_level_diff <= 1"""),
+      maxGateFactor = Some(20),
+      gatePolicyReason = Some("pair OUTPUT is C(factor,2)-quadratic per " +
+        "copy-family on replicated corpora (4.7M rows at factor 10 — " +
+        "value-gated through 20); q_audio_neardup_groups is the linear " +
+        "scale contract and is value-gated at factor 50")),
 
     // Banded per-frame luma fingerprint over a Y4M fixture with PLANTED
     // near-duplicate clips (id and id+250 differ by a global luma shift):
@@ -1720,7 +1783,12 @@ object CorpusQueries {
         SELECT ver.* FROM ver
         JOIN nfr na ON na.doc_id = ver.a_id
         JOIN nfr nb ON nb.doc_id = ver.b_id
-        WHERE na.nf = nb.nf AND ver.n_frames = na.nf AND ver.max_level_diff <= 1""")),
+        WHERE na.nf = nb.nf AND ver.n_frames = na.nf AND ver.max_level_diff <= 1"""),
+      maxGateFactor = Some(20),
+      gatePolicyReason = Some("pair OUTPUT is C(factor,2)-quadratic per " +
+        "copy-family on replicated corpora (3.5M rows at factor 10 — " +
+        "value-gated through 20); q_video_neardup_groups is the linear " +
+        "scale contract and is value-gated at factor 50")),
 
     // Image near-dup GROUPS — the scale-safe contract on duplicate-saturated
     // corpora, where the pair output above is C(f,2)-quadratic per
@@ -2889,7 +2957,13 @@ object CorpusQueries {
           SELECT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b,
                  CAST(fk.inter AS INT) AS inter, CAST(fk.uni AS INT) AS uni
           FROM fk JOIN memb x ON x.gid = fk.ga JOIN memb y ON y.gid = fk.gb)
-        SELECT * FROM same UNION ALL SELECT * FROM crossed""")),
+        SELECT * FROM same UNION ALL SELECT * FROM crossed"""),
+      maxGateFactor = Some(10),
+      gatePolicyReason = Some("pair OUTPUT is C(factor,2)-quadratic per " +
+        "copy-family clique (96.7M rows measured at factor 10; no candidate " +
+        "filter can reduce output cardinality); the linear dedup-GROUPS " +
+        "contract (minhash->CC, q_dedup_groups) carries scale — standing " +
+        "adjudication since r7")),
 
     // Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
     // the MOSS scheme): positional 3-gram md5-prefix hashes, window-of-4

@@ -9,11 +9,23 @@ import graft.core.Graft
 /** One registered engine query: the Spark implementation plus (when
   * SQL-expressible) an equivalent ANSI SQL oracle the driver runs in DuckDB
   * over the same parquet tables.
+  *
+  * `maxGateFactor` is the query's SCALE-GATE POLICY, carried in code so the
+  * replicated-corpus gates read it from the registry instead of from tooling
+  * invocation notes: `Some(f)` means the query is value-gated up to
+  * replication factor f and policy-skipped above it, with `gatePolicyReason`
+  * saying why (the standing adjudications: a pair query whose OUTPUT is
+  * C(factor,2)-quadratic per copy-family on replicated corpora cannot be
+  * replayed at unbounded factors — its linear GROUPS twin carries the dedup
+  * contract and is gated instead). `None` (the default) = gate at every
+  * factor.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    maxGateFactor: Option[Int] = None,
+    gatePolicyReason: Option[String] = None)
 
 object Q {
 

@@ -16,9 +16,25 @@ class MemoReleaseSpec extends AnyFunSuite {
 
   private def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
 
+  /** GC-settle the persistent-RDD census to its floor: earlier suites may
+    * have dropped checkpoint-backed result frames that the ContextCleaner
+    * has not collected yet — a baseline read before they clear would be
+    * stale and make strict equality assertions flaky.
+    */
+  private def settledFloor(): Int = {
+    var floor = cachedRdds
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var stable = 0
+    while (stable < 3 && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+      if (cachedRdds < floor) { floor = cachedRdds; stable = 0 } else stable += 1
+    }
+    floor
+  }
+
   test("CorpusQueries.releaseMemos returns the group-fill storage to baseline") {
     CorpusQueries.releaseMemos(spark, dir) // reset in case another suite warmed
-    val baseline = cachedRdds
+    val baseline = settledFloor()
     CorpusQueries.warmGroups(spark, dir)
     assert(cachedRdds > baseline,
       "warmGroups must pin persisted frames (fingerprints, pairs, groups)")
@@ -55,7 +71,7 @@ class MemoReleaseSpec extends AnyFunSuite {
     dirs.foreach { d =>
       CorpusQueries.releaseMemos(spark, d); DagQueries.releaseMemos(spark, d)
     }
-    val baseline = cachedRdds
+    val baseline = settledFloor()
     for (cycle <- 1 to 3; d <- dirs) {
       consumers.foreach(q =>
         qs(q)(spark, d).write.format("noop").mode("overwrite").save())
@@ -69,9 +85,45 @@ class MemoReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("media-GROUPS soak: per-call caches release eagerly, checkpoint results are collectable") {
+    // The media near-dup GROUPS operators persist hash/level caches inside
+    // each call and hand back a localCheckpoint frame. Two release
+    // disciplines must hold across repeated cycles: (a) the per-call
+    // persists (dhash frame, contour levels, family fingerprints) are
+    // unpersisted before the call returns — a leak there ratchets the
+    // census by several frames per cycle; (b) the returned checkpoint
+    // frames hold no hidden engine-side reference, so once the caller
+    // drops them the ContextCleaner returns storage to baseline.
+    val names = Seq("q_image_phash_groups", "q_audio_neardup_groups",
+      "q_video_neardup_groups")
+    val qs = SparkEntry.queries
+    // settle: collect checkpoint frames earlier suites may have dropped
+    def settle(target: Int, msg: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (cachedRdds > target && System.nanoTime() < deadline) {
+        System.gc(); Thread.sleep(200)
+      }
+      assert(cachedRdds <= target, msg)
+    }
+    val baseline = settledFloor()
+    for (cycle <- 1 to 3) {
+      names.foreach(q =>
+        qs(q)(spark, dir).write.format("noop").mode("overwrite").save())
+      // eager-release check: immediately after the cycle, only the three
+      // not-yet-collected RESULT checkpoints may remain pinned — any
+      // internal hash/level/family cache still resident is a leak
+      assert(cachedRdds <= baseline + names.size,
+        s"cycle $cycle: ${cachedRdds - baseline} frames pinned after " +
+          s"${names.size} GROUPS calls — a per-call cache leaked past return")
+      settle(baseline,
+        s"cycle $cycle: dropped GROUPS results must be collectable back " +
+          s"to baseline ($baseline) — a hidden reference pins the checkpoint")
+    }
+  }
+
   test("DagQueries.releaseMemos returns the shared vault cache to baseline") {
     DagQueries.releaseMemos(spark, dir)
-    val baseline = cachedRdds
+    val baseline = settledFloor()
     DagQueries.warmShared(spark, dir)
     assert(cachedRdds > baseline,
       "warmShared must pin the shared hub/sat frames")

@@ -137,4 +137,44 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(got(1L) === ((1L, None, true)))   // own group, null cosine surfaces
     assert(got(2L) === ((2L, Some(1.0), true)))
   }
+
+  test("semDeDup: a NULL embedding vector survives as a kept singleton") {
+    // null keys never equi-join, so the family-collapse join must be LEFT:
+    // an inner join would silently drop the row, where the doc-grain
+    // contract keeps it as a singleton with a null centroid cosine (a null
+    // vector's every pairwise cosine is null, never >= threshold)
+    val centroids = Seq((100L, Seq(1f, 0f))).toDF("centroid_id", "embedding")
+    val emb = Seq(
+      (1L, Seq(1f, 0f)),
+      (5L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(
+      emb, centroids, "vec_id", "embedding", "centroid_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(1L, 5L), "the null-vector row must not be dropped")
+    assert(got(5L) === ((5L, None, true)))
+    assert(got(1L) === ((1L, Some(1.0), true)))
+  }
+
+  test("semDeDup: threshold 1.0 gates the family self-loop on the computed self-cosine") {
+    // IEEE: dot(v,v)/(sqrt(S)*sqrt(S)) is NOT always 1.0 — for v=[1,1],
+    // S=2 and sqrt(2)^2 = 2.0000000000000004, so the self-cosine rounds to
+    // 0.9999999999999998 < 1 and the doc-grain verify would REJECT the
+    // exact-copy pair. The family self-loop must run the same computation,
+    // not a norm>0 shortcut that would over-group at threshold = 1.0.
+    val centroids = Seq((100L, Seq(1f, 1f))).toDF("centroid_id", "embedding")
+    val emb = Seq(
+      (1L, Seq(1f, 1f)), (2L, Seq(1f, 1f)), // self-cos < 1.0 -> singletons
+      (3L, Seq(1f, 0f)), (4L, Seq(1f, 0f))  // self-cos == 1.0 -> one group
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(
+      emb, centroids, "vec_id", "embedding", "centroid_id", threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((1L, true)) && got(2L) === ((2L, true)),
+      "copies whose computed self-cosine rounds below 1.0 must stay singletons")
+    assert(got(3L)._1 === 3L && got(4L)._1 === 3L,
+      "copies with an exact self-cosine of 1.0 must group")
+    assert(Seq(got(3L), got(4L)).count(_._2) === 1)
+  }
 }
