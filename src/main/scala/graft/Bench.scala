@@ -39,10 +39,21 @@ object Bench {
     // so contamination is only visible in the start value
     val load1Start = load1Now()
 
+    // Replicated-corpus bench factor: same registry policy the Verify gate
+    // reads — queries whose quadratic pair OUTPUT is policy-capped below
+    // this factor are skipped, so a factor-50 bench doesn't spend its wall
+    // on adjudicated-out lines. Default 1 = no skips (the driver's sf0.1
+    // run and same-factor comparisons are unchanged).
+    val gateFactor = sys.env.get("SPARK_GRAFT_GATE_FACTOR").map(_.toInt).getOrElse(1)
+    val policy = SparkEntry.scalePolicy
+    def policySkip(name: String): Boolean =
+      policy.get(name).exists(_._1 < gateFactor)
+
     // sorted: Map iteration order is hash-based, which made per-query time
     // attribution nondeterministic across rounds for queries that share
     // cached upstream state (whichever q_dag_* ran first paid the cache)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(kv => policySkip(kv._1))
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -170,12 +181,17 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
+      // self-describing line-count: which queries the registry scale policy
+      // removed at this factor (empty at the default factor 1)
+      val skipJson = SparkEntry.scalePolicy.toSeq.sortBy(_._1)
+        .collect { case (k, (f, _)) if f < gateFactor => "\"" + k + "\":" + f }
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
         s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1_start":${f2(load1Start)},"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"calibration_ratio_vs_idle":${
           if (calibration._2 > 0) f(calibration._2 / calibrationIdleRefSec) else "-1"
-        },"errors":$errJson,"queries":$detail}""" + "\n")
+        },"gate_factor":$gateFactor,"policy_skips":$skipJson,"errors":$errJson,"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
     println(fits.getOrElse(line(Seq.empty, total)))
