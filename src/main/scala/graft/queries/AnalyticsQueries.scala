@@ -305,28 +305,34 @@ object AnalyticsQueries {
           .select((col("o_custkey") * 2).cast("long").as("src"),
             (col("l_suppkey") * 2 + 1).cast("long").as("dst")),
         "src", "dst", iterations = 3),
+      // AS MATERIALIZED on every re-referenced CTE: without it DuckDB
+      // re-inlines `ed` (the full orders><lineitem DISTINCT edge build)
+      // into s1/s2/s3 and nests the whole iteration chain — at gate factor
+      // 50 (~27M edges) that blew the 600s watchdog and ~all host memory;
+      // materialized, each frame is computed once (same r9 fix as the
+      // other heavy replays). Purely an optimizer hint: values unchanged.
       Some("""
-        WITH e AS (
+        WITH e AS MATERIALIZED (
           SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
                           CAST((l_suppkey * 2) + 1 AS BIGINT) AS dst
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM n),
         od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
-        ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
-        r0 AS (SELECT node, (CAST(1.0 AS DOUBLE) / CAST(n_nodes AS DOUBLE)) AS rank
+        ed AS MATERIALIZED (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+        r0 AS MATERIALIZED (SELECT node, (CAST(1.0 AS DOUBLE) / CAST(n_nodes AS DOUBLE)) AS rank
                FROM n CROSS JOIN nn),
         s1 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
                         (a, x) -> a + x) AS s
                FROM ed JOIN r0 r ON r.node = ed.src GROUP BY 1),
-        r1 AS (SELECT n.node,
+        r1 AS MATERIALIZED (SELECT n.node,
                       ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
                        (CAST(0.85 AS DOUBLE) * coalesce(s1.s, CAST(0.0 AS DOUBLE)))) AS rank
                FROM n LEFT JOIN s1 ON s1.dst = n.node),
         s2 AS (SELECT ed.dst, list_reduce(list_sort(list(r.rank / CAST(ed.outdeg AS DOUBLE))),
                         (a, x) -> a + x) AS s
                FROM ed JOIN r1 r ON r.node = ed.src GROUP BY 1),
-        r2 AS (SELECT n.node,
+        r2 AS MATERIALIZED (SELECT n.node,
                       ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
                        (CAST(0.85 AS DOUBLE) * coalesce(s2.s, CAST(0.0 AS DOUBLE)))) AS rank
                FROM n LEFT JOIN s2 ON s2.dst = n.node),

@@ -15,6 +15,7 @@ NaN-tolerant).
 """
 import json
 import math
+import os
 import signal
 import sys
 import threading
@@ -57,11 +58,30 @@ class Timeout(Exception):
     pass
 
 
-def connect(sfdir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-    return con
+def connect(sfdir, retries=30, backoff_sec=10):
+    """Open a fresh in-memory DuckDB over the gate tables.
+
+    Retries with backoff: immediately after a watchdog interrupt the OLD
+    instance's buffers may not be released yet (interrupt unwinding is
+    asynchronous w.r.t. close()), and a same-instant reconnect measured an
+    OutOfMemoryException on a 2KB allocation at factor 50 — the old query
+    held ~all host memory. Waiting out the release is the fix; 30x10s far
+    exceeds any observed unwind."""
+    last = None
+    for attempt in range(retries):
+        try:
+            con = duckdb.connect()
+            for t in TABLES:
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+            return con
+        except Exception as e:  # OOM during unwind — wait and retry
+            last = e
+            try:
+                con.close()
+            except Exception:
+                pass
+            time.sleep(backoff_sec)
+    raise last
 
 
 def run_with_deadline(con, sql, timeout):
@@ -132,7 +152,35 @@ def main():
         pass
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(Timeout()))
     results = {}
+    # Resume: with CHECK_RESUME=1 and an existing artifact, queries already
+    # recorded there are kept as-is and skipped — a crash partway through a
+    # multi-hour gate (e.g. the factor-50 reconnect OOM this guards against)
+    # no longer costs the finished prefix. Default off: a fresh gate run
+    # overwrites the artifact from scratch.
+    if os.environ.get("CHECK_RESUME") == "1":
+        try:
+            prior = json.load(open(artifact)).get("queries", {})
+            results.update({k: v for k, v in prior.items()
+                            if v.get("status") in ("pass", "policy_skip")})
+            if results:
+                print(f"RESUME  {len(results)} prior results kept from {artifact}")
+        except FileNotFoundError:
+            pass
+
+    def dump_partial():
+        counts = {}
+        for r in results.values():
+            counts[r["status"]] = counts.get(r["status"], 0) + 1
+        with open(artifact, "w") as f:
+            json.dump({"sfdir": sfdir, "outdir": outdir,
+                       "timeout_sec": timeout, "gate_factor": gate_factor,
+                       "counts": counts, "n": len(results),
+                       "queries": results}, f, indent=1)
+        return counts
+
     for name, sql in sorted(oracle.items()):
+        if name in results:
+            continue
         t0 = time.time()
         status, detail = "pass", ""
         try:
@@ -164,7 +212,8 @@ def main():
         sec = round(time.time() - t0, 2)
         results[name] = {"status": status, "sec": sec,
                          **({"rows": len(exp)} if status == "pass" else {"detail": detail[:400]})}
-        print(f"{status.upper():7s} {name} ({sec}s)" + ("" if status == "pass" else f": {detail[:200]}"))
+        print(f"{status.upper():7s} {name} ({sec}s)" + ("" if status == "pass" else f": {detail[:200]}"), flush=True)
+        dump_partial()  # crash-safe: the artifact is valid after every query
     for name, pol in sorted(policy.items()):
         if pol.get("max_gate_factor", 10**9) < gate_factor and name not in results:
             results[name] = {"status": "policy_skip",
@@ -172,14 +221,7 @@ def main():
                              "reason": pol.get("reason", "")}
             print(f"POLICY_SKIP {name} (max_gate_factor "
                   f"{pol['max_gate_factor']} < {gate_factor})")
-    counts = {}
-    for r in results.values():
-        counts[r["status"]] = counts.get(r["status"], 0) + 1
-    summary = {"sfdir": sfdir, "outdir": outdir, "timeout_sec": timeout,
-               "gate_factor": gate_factor,
-               "counts": counts, "n": len(results), "queries": results}
-    with open(artifact, "w") as f:
-        json.dump(summary, f, indent=1)
+    counts = dump_partial()
     print(f"\n{counts}")
     ok = counts.get("pass", 0) + counts.get("policy_skip", 0) == len(results)
     sys.exit(0 if ok else 1)
