@@ -341,6 +341,21 @@ object DagQueries {
              upper(asset_symbol) AS u_sym, upper(asset_type) AS u_type
       FROM raw_tx)"""
 
+  /** RawSql with `raw_tx` pinned AS MATERIALIZED — for the oracles that
+    * reference raw_tx more than once (fct/semantic transactions reach it
+    * through BOTH sat_tx and a hub subquery): DuckDB re-inlines a plain
+    * CTE per reference, so the 30M-row string-building orders scan ran
+    * three times per replay at gate factor 50 (552s/519s walls, close to
+    * the 600s watchdog). Kept as a separate prefix rather than changing
+    * RawSql itself because DuckDB EVALUATES unreferenced MATERIALIZED
+    * CTEs (measured) — single-reference consumers would pay for frames
+    * they never read, and materialization also blocks filter pushdown
+    * into the CTE for consumers that filter it. Optimizer hint only:
+    * values identical.
+    */
+  private val RawSqlMatTx =
+    RawSql.replace("raw_tx AS (", "raw_tx AS MATERIALIZED (")
+
   // ---------------------------------------------------------------- queries
 
   val all: Seq[Q] = Seq(
@@ -359,7 +374,7 @@ object DagQueries {
         // the driver compare — emit ntz on both sides
         col("data_date").cast("timestamp_ntz").as("data_date"),
         col("record_source"), col("load_timestamp")),
-      Some(s"""$RawSql
+      Some(s"""$RawSqlMatTx
         SELECT t.transaction_hk, t.transaction_id, c.customer_id,
                c.customer_hk,
                md5(concat_ws('-', r.u_sym, r.u_type)) AS asset_hk,
@@ -384,7 +399,7 @@ object DagQueries {
       */
     Q("q_dag_link_company_tx",
       (s, dir) => models(s, dir).linkCompanyTransaction,
-      Some(s"""$RawSql
+      Some(s"""$RawSqlMatTx
         SELECT md5(concat_ws('-', md5(t.customer_id), md5(t.transaction_id))) AS company_transaction_hk,
                md5(t.customer_id) AS company_hk,
                md5(t.transaction_id) AS transaction_hk,
@@ -617,7 +632,7 @@ object DagQueries {
         col("transaction_timestamp"),
         col("data_date").cast("timestamp_ntz").as("data_date"),
         col("record_source"), col("load_timestamp")),
-      Some(s"""$RawSql
+      Some(s"""$RawSqlMatTx
         SELECT t.transaction_hk, t.transaction_id, c.customer_id,
                c.customer_hk,
                md5(concat_ws('-', r.u_sym, r.u_type)) AS asset_hk,
