@@ -119,7 +119,47 @@ object Bench {
     // calibration_ratio_vs_idle = this run's q_calibration / this constant
     // reads contamination directly: ~1.0 = idle-equivalent host, >> 1 =
     // divide raw per-query deltas by the ratio before comparing rounds.
-    val calibrationIdleRefSec = 0.599
+    // Host-class constant — override with SPARK_GRAFT_CALIB_IDLE_SEC on any
+    // other host class, or the ratio misreads (ADVICE r11).
+    val calibrationIdleRefSec = sys.env.get("SPARK_GRAFT_CALIB_IDLE_SEC")
+      .map(_.toDouble).getOrElse(0.599)
+
+    // I/O-bound calibration twin (verdict r11 task #2): the CPU line above
+    // cannot see disk/page-cache drift — r11's idle-to-idle wall rose ~10%
+    // uniformly across untouched parquet-scan-heavy queries while
+    // q_calibration said the CPU was flat-to-faster. This line scans a
+    // CONSTANT uncompressed parquet directory at a fixed path (created
+    // deterministically if absent, so content is identical across rounds;
+    // it persists across rounds on the same host, so its page-cache state
+    // drifts exactly the way the testdata's does). Deliberately NOT
+    // warmed: a warmup pass would push it fully cache-hot and hide the
+    // very state this line exists to measure. Plain-encoded fixed-width
+    // columns keep decode cheap relative to the byte volume, so the time
+    // tracks the I/O path, not expression work.
+    val calibrationIo = {
+      import org.apache.spark.sql.functions._
+      val ioDir = sys.env.getOrElse("SPARK_GRAFT_CALIB_IO_DIR", "/tmp/graft_calib_io")
+      val ok0 = try {
+        if (!new java.io.File(ioDir, "_SUCCESS").isFile)
+          spark.range(0L, 8000000L, 1L, 32)
+            .select(col("id"), xxhash64(col("id")).as("h"),
+              md5(col("id").cast("string")).as("s"))
+            .write.option("compression", "none").mode("overwrite").parquet(ioDir)
+        true
+      } catch { case e: Throwable => errors("q_calibration_io") = sanitize(e); false }
+      val t0 = System.nanoTime()
+      val ok = ok0 && (try { run(spark.read.parquet(ioDir)); true } catch {
+        case e: Throwable => errors("q_calibration_io") = sanitize(e); false
+      })
+      val dt = (System.nanoTime() - t0) / 1e9
+      "q_calibration_io" -> (if (ok) dt else -dt)
+    }
+    // Idle-host reference for q_calibration_io, same contract as the CPU
+    // constant: recorded from this host class's idle bench (r12); override
+    // with SPARK_GRAFT_CALIB_IO_IDLE_SEC elsewhere. -1 ratio = no
+    // reference configured yet (first round on a new host class).
+    val calibrationIoIdleRefSec = sys.env.get("SPARK_GRAFT_CALIB_IO_IDLE_SEC")
+      .map(_.toDouble).getOrElse(-1.0)
 
     // same attribution split for the shared dedup-group fill (simhash
     // pairs -> iterative CC): q_canonical_selection and q_dedup_groups
@@ -134,7 +174,7 @@ object Bench {
       "q_groups_warm" -> (if (ok) dt else -dt)
     }
 
-    val results = calibration +: dagWarm +: groupsWarm +: ordered.map { case (name, fn) =>
+    val results = calibration +: calibrationIo +: dagWarm +: groupsWarm +: ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch {
         case e: Throwable => errors(name) = sanitize(e); false
@@ -191,6 +231,9 @@ object Bench {
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
         s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"load1_start":${f2(load1Start)},"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"calibration_ratio_vs_idle":${
           if (calibration._2 > 0) f(calibration._2 / calibrationIdleRefSec) else "-1"
+        },"calibration_io_ratio_vs_idle":${
+          if (calibrationIo._2 > 0 && calibrationIoIdleRefSec > 0)
+            f(calibrationIo._2 / calibrationIoIdleRefSec) else "-1"
         },"gate_factor":$gateFactor,"policy_skips":$skipJson,"errors":$errJson,"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()

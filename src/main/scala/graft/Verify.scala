@@ -20,7 +20,15 @@ object Verify {
     val policy = SparkEntry.scalePolicy
     def policySkip(name: String): Boolean =
       policy.get(name).exists(_._1 < gateFactor)
-    def keep(name: String) = only.forall(_.contains(name)) && !policySkip(name)
+    // an explicitly-named query is never policy-skipped: `--only` is a
+    // builder deliberately running THAT query at THIS factor (local
+    // iteration / adjudicated one-offs) — the registry cap governs only
+    // the unattended full-surface gate, where nobody is around to notice
+    // a silently-dropped row
+    def keep(name: String) = only match {
+      case Some(names) => names.contains(name)
+      case None        => !policySkip(name)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -63,7 +71,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF}", sfName))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (gateFactor > 1) {
+    // on an --only run the policy is bypassed (above), so dump the factor
+    // with an EMPTY policy map — check_timed.py then records the true
+    // gate_factor in its artifact without fabricating policy_skip rows for
+    // queries this invocation never attempted
+    if (gateFactor > 1 && only.isDefined) {
+      Files.writeString(Paths.get(s"$outDir/scale_policy.json"),
+        s"""{"gate_factor": $gateFactor, "policy": {}}""")
+    }
+    if (gateFactor > 1 && only.isEmpty) {
       SparkEntry.scalePolicy.foreach { case (name, (f, _)) =>
         if (f < gateFactor)
           System.err.println(s"[verify] $name policy-skip at factor $gateFactor (max $f)")

@@ -657,11 +657,16 @@ object CorpusQueries {
     //
     // The cut is the corpus MEDIAN (doc_id*2 < count), not a literal: under
     // ScaleGen's disjoint-copy remap (doc_id*factor+k, k < factor) the
-    // median of the replicated id space maps EXACTLY back to the base
-    // median — base*factor+k < n*factor/2 iff base < n/2 — so every base
-    // doc's copies land whole on one side and cross-split near-dups survive
-    // replication at any factor (a fixed 250 cut degenerated to copies of
-    // base docs 0-4 at factor 50: a 0-row gate row). At the driver's
+    // median of the replicated id space maps back to the base median —
+    // base*factor+k < n*factor/2 iff base < n/2 — PROVIDED the base doc
+    // count n is EVEN (every driver/ScaleGen corpus is: 50/500/5000 docs).
+    // For odd n the middle doc (base = (n-1)/2) sits ON the cut and its
+    // copies split across sides (2k >= factor lands right), so "copies land
+    // whole on one side" would not hold; the engine and the oracle share
+    // the identical predicate either way, so the gate stays consistent —
+    // only the whole-family invariant needs the even-n assumption
+    // (ADVICE r11). The fixed 250 cut this replaced degenerated to copies
+    // of base docs 0-4 at factor 50: a 0-row gate row. At the driver's
     // sf0.01/sf0.001 (500 docs) the median IS 250, so the base gate row is
     // byte-identical to the fixed-cut era. The count is an in-plan
     // broadcast scalar, never a collect.
@@ -2433,6 +2438,20 @@ object CorpusQueries {
     // the recursive-CTE closure and the banding arithmetic, bit-for-bit.
     // Shapes are the stages' own: map-only gate, two keyed shuffles,
     // band-bounded candidate joins, broadcast mix dim — nothing pairwise.
+    //
+    // The replay runs at identical-TEXT FAMILY grain (r9 oracle-scale
+    // lesson, applied here in r12 after the doc-grain replay blew the 600s
+    // watchdog at factor 100): every stage is a pure function of the text,
+    // so quality signals, fingerprints, and minhash bands are computed once
+    // per family rep and doc grain is restored where it matters — stage 1
+    // sums member-weighted (m, m*nt); k2's min-doc-id is the min of family
+    // minima; the decontamination right side collapses to the rep of each
+    // family holding any eval-split member (band collisions and Jaccard
+    // are text-functions, so the EXISTS transfers exactly, including the
+    // rep-vs-itself pair when a family straddles the 400 cut). On the
+    // replicated corpora the doc-grain band self-join grew f² candidates
+    // per family (113s at f50, 656s timeout at f100); this form is
+    // base-bounded everywhere past the one GROUP BY text.
     Q("q_training_pipeline",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -2485,25 +2504,27 @@ object CorpusQueries {
         out
       },
       Some("""
-        WITH base AS MATERIALIZED (
-          SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-          FROM documents),
+        WITH dfam AS MATERIALIZED (
+          SELECT min(doc_id) AS gid, count(*) AS m,
+                 list_min(list_filter(list(doc_id), d -> d >= 400)) AS rgid,
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+          FROM documents GROUP BY text),
         gb AS (
-          SELECT doc_id, len(tk) AS n_words,
+          SELECT gid, len(tk) AS n_words,
                  CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS nb,
                  CASE WHEN len(tk) >= 2
                       THEN len(list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]))
                       ELSE 0 END AS nbd
-          FROM base),
+          FROM dfam),
         gtc AS (
-          SELECT doc_id, tk2 AS tok, count(*) AS cnt
-          FROM (SELECT doc_id, unnest(tk) AS tk2 FROM base) GROUP BY 1, 2),
+          SELECT gid, tk2 AS tok, count(*) AS cnt
+          FROM (SELECT gid, unnest(tk) AS tk2 FROM dfam) GROUP BY 1, 2),
         gpd AS (
-          SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+          SELECT gid, CAST(max(cnt) AS BIGINT) AS top_cnt,
                  CAST(sum(cnt * length(tok)) AS BIGINT) AS char_sum
           FROM gtc GROUP BY 1),
-        k1 AS (
-          SELECT gb.doc_id FROM gb JOIN gpd USING (doc_id)
+        k1 AS MATERIALIZED (
+          SELECT gb.gid FROM gb JOIN gpd USING (gid)
           WHERE gb.n_words >= 20 AND gb.n_words <= 100000
             AND (CAST(gpd.char_sum AS DOUBLE) / CAST(gb.n_words AS DOUBLE)) >= 2.0
             AND (CAST(gpd.char_sum AS DOUBLE) / CAST(gb.n_words AS DOUBLE)) <= 12.0
@@ -2511,16 +2532,18 @@ object CorpusQueries {
             AND gb.nb > 0
             AND (1.0 - (CAST(gb.nbd AS DOUBLE) / CAST(gb.nb AS DOUBLE))) <= 0.3),
         k2 AS MATERIALIZED (
-          SELECT min(doc_id) AS doc_id
-          FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS f
-                FROM base JOIN k1 USING (doc_id))
+          SELECT min(gid) AS doc_id
+          FROM (SELECT gid, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS f
+                FROM dfam JOIN k1 USING (gid))
           GROUP BY f),
+        rfam AS MATERIALIZED (SELECT gid FROM dfam WHERE rgid IS NOT NULL),
+        sd AS (SELECT doc_id FROM k2 UNION SELECT gid FROM rfam),
         sh AS MATERIALIZED (
-          SELECT doc_id,
+          SELECT gid AS doc_id,
             CASE WHEN len(tk) >= 2
                  THEN list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])
                  ELSE [] END AS s
-          FROM base),
+          FROM dfam JOIN sd ON dfam.gid = sd.doc_id),
         bss AS (
           SELECT doc_id, list_transform(s, x ->
             CAST(list_reduce(list_transform(range(1, 8),
@@ -2546,7 +2569,7 @@ object CorpusQueries {
           JOIN sh sb ON sb.doc_id = b_id
           WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / CAST(nullif(len(list_distinct(list_concat(sa.s, sb.s))), 0) AS DOUBLE) >= 0.5),
-        und AS (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
+        und AS MATERIALIZED (SELECT a_id AS x, b_id AS y FROM e UNION ALL SELECT b_id, a_id FROM e),
         comp AS MATERIALIZED (
           SELECT v, min(r) AS label FROM (
             WITH RECURSIVE reach(v, r) AS (
@@ -2554,14 +2577,15 @@ object CorpusQueries {
               UNION
               SELECT reach.v, und.y FROM reach JOIN und ON und.x = reach.r
             ) SELECT v, r FROM reach) GROUP BY v),
-        k3 AS (
+        k3 AS MATERIALIZED (
           SELECT doc_id FROM k2
           WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> label)),
         trn AS MATERIALIZED (SELECT doc_id FROM k3 WHERE doc_id < 400),
         candx AS (
           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
           FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
-          WHERE l.doc_id IN (SELECT doc_id FROM trn) AND r.doc_id >= 400),
+          WHERE l.doc_id IN (SELECT doc_id FROM trn)
+            AND r.doc_id IN (SELECT gid FROM rfam)),
         flagged AS (
           SELECT DISTINCT a_id FROM candx
           JOIN sh sa ON sa.doc_id = a_id
@@ -2571,27 +2595,28 @@ object CorpusQueries {
         k4 AS MATERIALIZED (SELECT doc_id FROM trn WHERE doc_id NOT IN (SELECT a_id FROM flagged)),
         mc AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n
-          FROM base JOIN k4 USING (doc_id) GROUP BY 1),
+          FROM documents JOIN k4 USING (doc_id) GROUP BY 1),
         mw AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.1), ('es', 0.15), ('de', 0.15), ('fr', 0.2)) AS t(lang, alpha)),
         k5 AS (
-          SELECT base.doc_id FROM base
+          SELECT d.doc_id FROM documents d
           JOIN k4 USING (doc_id) JOIN mc USING (lang) JOIN mw USING (lang)
           WHERE ((CAST(CAST(list_reduce(list_transform(range(1, 9),
-                   k -> (strpos('0123456789abcdef', substr(md5(CAST(base.doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
+                   k -> (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), k, 1)) - 1) * 16^(8-k)),
                  (a, x) -> a + x) AS BIGINT) AS DOUBLE) / 4294967296.0
                  * CAST(mc.n AS DOUBLE)) / mw.alpha) <= 40.0),
-        tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM base)
+        tok AS MATERIALIZED (SELECT gid, m, CAST(len(tk) AS BIGINT) AS nt FROM dfam)
         SELECT CAST(1 AS INT) AS stage_idx, 'quality_gate' AS stage,
-               CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
-        FROM k1 JOIN tok USING (doc_id)
+               CAST(coalesce(sum(m), 0) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(m * nt), 0) AS BIGINT) AS n_tokens
+        FROM k1 JOIN tok USING (gid)
         UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
-        FROM k2 JOIN tok USING (doc_id)
+        FROM k2 JOIN tok ON k2.doc_id = tok.gid
         UNION ALL SELECT 3, 'fuzzy_dedup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
-        FROM k3 JOIN tok USING (doc_id)
+        FROM k3 JOIN tok ON k3.doc_id = tok.gid
         UNION ALL SELECT 4, 'decontaminate', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
-        FROM k4 JOIN tok USING (doc_id)
+        FROM k4 JOIN tok ON k4.doc_id = tok.gid
         UNION ALL SELECT 5, 'mix_epoch_prefix', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
-        FROM k5 JOIN tok USING (doc_id)""")),
+        FROM k5 JOIN tok ON k5.doc_id = tok.gid""")),
 
     Q("q_web_pipeline",
       (s, dir) => {

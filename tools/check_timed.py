@@ -13,6 +13,7 @@ records status=timeout and the gate moves on (old connection closed, a
 fresh one opened). Value comparison is identical to check.py (exact,
 NaN-tolerant).
 """
+import hashlib
 import json
 import math
 import os
@@ -152,6 +153,15 @@ def main():
         pass
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(Timeout()))
     results = {}
+    # Fingerprint of what this invocation is actually gating: the inputs
+    # (sfdir), the engine outputs (outdir), the factor, and a hash of the
+    # oracle SQL itself. Stored in the artifact; resume only trusts prior
+    # rows when ALL of them match — an artifact from a different factor, a
+    # different outdir, or an older HEAD's oracles must never count.
+    oracle_hash = hashlib.sha256(
+        json.dumps(oracle, sort_keys=True).encode()).hexdigest()[:16]
+    invocation = {"sfdir": sfdir, "outdir": outdir,
+                  "gate_factor": gate_factor, "oracle_hash": oracle_hash}
     # Resume: with CHECK_RESUME=1 and an existing artifact, queries already
     # recorded there are kept as-is and skipped — a crash partway through a
     # multi-hour gate (e.g. the factor-50 reconnect OOM this guards against)
@@ -159,11 +169,17 @@ def main():
     # overwrites the artifact from scratch.
     if os.environ.get("CHECK_RESUME") == "1":
         try:
-            prior = json.load(open(artifact)).get("queries", {})
-            results.update({k: v for k, v in prior.items()
-                            if v.get("status") in ("pass", "policy_skip")})
-            if results:
-                print(f"RESUME  {len(results)} prior results kept from {artifact}")
+            prior_doc = json.load(open(artifact))
+            prior_inv = {k: prior_doc.get(k) for k in invocation}
+            if prior_inv == invocation:
+                prior = prior_doc.get("queries", {})
+                results.update({k: v for k, v in prior.items()
+                                if v.get("status") in ("pass", "policy_skip")})
+                if results:
+                    print(f"RESUME  {len(results)} prior results kept from {artifact}")
+            else:
+                print(f"RESUME REFUSED: artifact invocation {prior_inv} != "
+                      f"current {invocation}; starting fresh")
         except FileNotFoundError:
             pass
 
@@ -172,8 +188,7 @@ def main():
         for r in results.values():
             counts[r["status"]] = counts.get(r["status"], 0) + 1
         with open(artifact, "w") as f:
-            json.dump({"sfdir": sfdir, "outdir": outdir,
-                       "timeout_sec": timeout, "gate_factor": gate_factor,
+            json.dump({**invocation, "timeout_sec": timeout,
                        "counts": counts, "n": len(results),
                        "queries": results}, f, indent=1)
         return counts
@@ -182,9 +197,15 @@ def main():
         if name in results:
             continue
         t0 = time.time()
+        t_duck = None  # DuckDB execution wall alone — the watchdog-relevant
+        # time; `sec` also includes the pandas normalize + compare, which on
+        # multi-M-row outputs can dominate (observed 38s DuckDB vs ~450s
+        # total at factor 50) and would otherwise misread as watchdog risk.
         status, detail = "pass", ""
         try:
-            exp = normalize(run_with_deadline(con, sql, timeout))
+            exp_raw = run_with_deadline(con, sql, timeout)
+            t_duck = round(time.time() - t0, 2)
+            exp = normalize(exp_raw)
             got = normalize(pd.read_parquet(f"{outdir}/{name}"))
             if sorted(exp.columns) != sorted(got.columns):
                 status, detail = "fail", f"columns exp={sorted(exp.columns)} got={sorted(got.columns)}"
@@ -211,8 +232,12 @@ def main():
             status, detail = "error", f"{type(e).__name__}: {e}"
         sec = round(time.time() - t0, 2)
         results[name] = {"status": status, "sec": sec,
+                         **({"duckdb_sec": t_duck,
+                             "compare_sec": round(sec - t_duck, 2)} if t_duck is not None else {}),
                          **({"rows": len(exp)} if status == "pass" else {"detail": detail[:400]})}
-        print(f"{status.upper():7s} {name} ({sec}s)" + ("" if status == "pass" else f": {detail[:200]}"), flush=True)
+        print(f"{status.upper():7s} {name} ({sec}s"
+              + (f", duckdb {t_duck}s" if t_duck is not None else "") + ")"
+              + ("" if status == "pass" else f": {detail[:200]}"), flush=True)
         dump_partial()  # crash-safe: the artifact is valid after every query
     for name, pol in sorted(policy.items()):
         if pol.get("max_gate_factor", 10**9) < gate_factor and name not in results:
