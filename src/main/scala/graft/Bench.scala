@@ -155,11 +155,14 @@ object Bench {
       "q_calibration_io" -> (if (ok) dt else -dt)
     }
     // Idle-host reference for q_calibration_io, same contract as the CPU
-    // constant: recorded from this host class's idle bench (r12); override
-    // with SPARK_GRAFT_CALIB_IO_IDLE_SEC elsewhere. -1 ratio = no
-    // reference configured yet (first round on a new host class).
+    // constant: 0.382s recorded from this host class's r12 idle bench
+    // (BENCH_IDLE_r12.json, load1_start 0.86, calibration 0.937, the
+    // calibration file page-cache-resident — the steady state it has on an
+    // idle host). Override with SPARK_GRAFT_CALIB_IO_IDLE_SEC on any other
+    // host class; a ratio >> 1 means the I/O path (page cache / disk) is
+    // under pressure even if the CPU line reads ~1.0.
     val calibrationIoIdleRefSec = sys.env.get("SPARK_GRAFT_CALIB_IO_IDLE_SEC")
-      .map(_.toDouble).getOrElse(-1.0)
+      .map(_.toDouble).getOrElse(0.382)
 
     // same attribution split for the shared dedup-group fill (simhash
     // pairs -> iterative CC): q_canonical_selection and q_dedup_groups
