@@ -41,17 +41,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(
-          f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -64,6 +53,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The oracle-SQL and scale-policy dumps happen BEFORE the query loop:
+    // they depend only on the registry, and a crash (or an interrupted
+    // SparkContext) partway through a multi-hour gate run must not cost the
+    // compare metadata for the outputs already on disk.
     // {SF} in an oracle refers to this run's scale-dir basename (fixture
     // paths written by the query functions are scale-suffixed the same way)
     val sfName = new java.io.File(sfDir).getName
@@ -72,12 +65,13 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // on an --only run the policy is bypassed (above), so dump the factor
-    // with an EMPTY policy map — check_timed.py then records the true
-    // gate_factor in its artifact without fabricating policy_skip rows for
-    // queries this invocation never attempted
+    // with an EMPTY policy map AND an explicit "only" marker —
+    // check_timed.py refuses to run a full-surface gate against an outdir
+    // whose policy file carries it (a full check against an --only outdir
+    // would otherwise silently record zero policy_skip rows)
     if (gateFactor > 1 && only.isDefined) {
       Files.writeString(Paths.get(s"$outDir/scale_policy.json"),
-        s"""{"gate_factor": $gateFactor, "policy": {}}""")
+        s"""{"gate_factor": $gateFactor, "only": true, "policy": {}}""")
     }
     if (gateFactor > 1 && only.isEmpty) {
       SparkEntry.scalePolicy.foreach { case (name, (f, _)) =>
@@ -89,6 +83,26 @@ object Verify {
       }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/scale_policy.json"),
         s"""{"gate_factor": $gateFactor, "policy": $pj}""")
+    }
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        // repartition(1), NOT coalesce(1): coalesce collapses everything
+        // since the last shuffle into the single write task — a fused
+        // broadcast-join query (e.g. the salted IVF verify at factor 100)
+        // then runs its whole quadratic candidate scan on ONE core (measured
+        // >27 min single-task at factor 100 before being killed).
+        // repartition inserts a shuffle boundary, so upstream stages keep
+        // their full parallelism and only the filtered RESULT funnels into
+        // the one-file write. Row order through the 1-reducer shuffle is not
+        // deterministic, which is fine: the DuckDB compare sorts rows.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -200,6 +200,18 @@ object Similarity {
     val a = assigned.select(col("cluster_id"), col("__id").as("a_id"),
       col("__v").as("__va"), col("__n").as("__na"))
       .withColumn("__salt", pmod(xxhash64(col("a_id")), lit(saltBuckets.toLong)))
+      // The salting above only spreads the work if the join actually
+      // SHUFFLES on (cluster_id, __salt). When the build side's estimated
+      // size is small (replicated copies compress a 200k-vector parquet to
+      // ~3MB), Catalyst broadcasts it and the join inherits the probe
+      // side's scan partitioning — a single-file corpus is ONE split, so
+      // the whole |c|^2 verify ran on one core (measured >27 min at factor
+      // 100). An explicit key repartition with a FIXED partition count
+      // guarantees probe-side parallelism under every join strategy; the
+      // explicit count also stops AQE coalescing it back down (the shuffle
+      // BYTES are tiny, the join WORK is quadratic — byte-based advisory
+      // sizing cannot see that).
+      .repartition(saltBuckets, col("cluster_id"), col("__salt"))
     val b = assigned.select(col("cluster_id"), col("__id").as("b_id"),
       col("__v").as("__vb"), col("__n").as("__nb"))
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))

@@ -149,6 +149,17 @@ def main():
     try:
         sp = json.load(open(f"{outdir}/scale_policy.json"))
         gate_factor, policy = sp.get("gate_factor", 1), sp.get("policy", {})
+        # A Verify --only run dumps {"only": true, "policy": {}} — that outdir
+        # holds a PARTIAL surface with the registry policy bypassed. Treating
+        # it as a full-surface gate would record zero policy_skip rows and
+        # under-count silently; refuse loudly instead. CHECK_ALLOW_ONLY=1
+        # opts back in for deliberate local one-off comparisons.
+        if sp.get("only") and os.environ.get("CHECK_ALLOW_ONLY") != "1":
+            print(f"REFUSED: {outdir}/scale_policy.json is from a Verify "
+                  "--only run (partial surface, policy bypassed). Re-run "
+                  "Verify without --only for a full-surface gate, or set "
+                  "CHECK_ALLOW_ONLY=1 for a deliberate partial compare.")
+            sys.exit(2)
     except FileNotFoundError:
         pass
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(Timeout()))
