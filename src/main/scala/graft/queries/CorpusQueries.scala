@@ -3012,28 +3012,44 @@ object CorpusQueries {
     // mean over each doc's bigram instances — log-free (rational IEEE
     // arithmetic, like tfidf's idf) with a sorted-bigram sequential fold so
     // the double sum is order-deterministic and hash-verifiable.
+    // Family-grain replay (the r9 oracle-scale lesson): identical texts
+    // share their bigram multiset, so the per-doc fold computes once per
+    // distinct text and members expand at the end; the corpus model's
+    // instance counts are sum(m) over family bigram rows (each family
+    // contributes its in-text occurrences x member count m) — integer-exact,
+    // and every double op is the identical expression the doc-grain form
+    // ran. The doc-grain replay exploded ~100M bigram instance rows twice
+    // (bg feeds docbg AND model) and blew DuckDB's memory limit at factor
+    // 100; this form's heavy CTEs are factor-invariant. Diffed bit-exact
+    // against the doc-grain oracle at sf0.01 and factor 20 before gating.
     Q("q_lm_score",
       (s, dir) => Curation.lmScore(t(s, dir, "documents"), "doc_id", "text"),
       Some("""
-        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM documents),
-        bg AS (
-          SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
+        WITH fam AS MATERIALIZED (
+          SELECT min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m, text
+          FROM documents GROUP BY text),
+        toks AS (SELECT gid, m, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM fam),
+        bg AS MATERIALIZED (
+          SELECT gid, m, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
           FROM toks WHERE len(tk) >= 2),
-        docbg AS (SELECT doc_id, bg, count(*) AS dcnt FROM bg GROUP BY 1, 2),
-        model AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY 1),
+        docbg AS (SELECT gid, bg, count(*) AS dcnt FROM bg GROUP BY 1, 2),
+        model AS MATERIALIZED (SELECT bg, CAST(sum(m) AS BIGINT) AS cbg FROM bg GROUP BY 1),
         pre AS (SELECT split_part(bg, ' ', 1) AS prefix, CAST(sum(cbg) AS BIGINT) AS cpre FROM model GROUP BY 1),
         scored AS (
-          SELECT d.doc_id, d.bg, d.dcnt,
+          SELECT d.gid, d.bg, d.dcnt,
                  (CAST(d.dcnt AS DOUBLE) * (CAST(m.cbg AS DOUBLE) / CAST(p.cpre AS DOUBLE))) AS contrib
           FROM docbg d JOIN model m USING (bg) JOIN pre p ON split_part(d.bg, ' ', 1) = p.prefix),
         agg AS (
-          SELECT doc_id,
+          SELECT gid,
                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY bg)), (a, b) -> a + b) AS s,
                  CAST(sum(dcnt) AS BIGINT) AS nb
-          FROM scored GROUP BY doc_id)
+          FROM scored GROUP BY gid),
+        memb AS (SELECT gid, unnest(members) AS doc_id FROM fam)
         SELECT d.doc_id, coalesce(a.nb, 0) AS n_bigrams,
                (a.s / CAST(a.nb AS DOUBLE)) AS avg_cond_prob
-        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+        FROM documents d
+        LEFT JOIN (SELECT memb.doc_id, agg.s, agg.nb
+                   FROM memb JOIN agg USING (gid)) a USING (doc_id)""")),
 
     // Unicode NFC canonical composition (codegen NfcNormalize expression —
     // Spark has no normalizer builtin; normalize-before-fingerprint is

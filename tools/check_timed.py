@@ -165,14 +165,15 @@ def main():
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(Timeout()))
     results = {}
     # Fingerprint of what this invocation is actually gating: the inputs
-    # (sfdir), the engine outputs (outdir), the factor, and a hash of the
-    # oracle SQL itself. Stored in the artifact; resume only trusts prior
-    # rows when ALL of them match — an artifact from a different factor, a
-    # different outdir, or an older HEAD's oracles must never count.
-    oracle_hash = hashlib.sha256(
-        json.dumps(oracle, sort_keys=True).encode()).hexdigest()[:16]
-    invocation = {"sfdir": sfdir, "outdir": outdir,
-                  "gate_factor": gate_factor, "oracle_hash": oracle_hash}
+    # (sfdir), the engine outputs (outdir), and the factor. Each recorded
+    # row additionally carries sql_sha — the hash of the EXACT oracle SQL it
+    # was checked against — so resume trusts a prior row if and only if that
+    # query's SQL is unchanged. (A file-level oracle hash was too coarse: a
+    # single-oracle fix partway through a multi-hour gate invalidated every
+    # finished row, forcing a full re-run to repair one query.)
+    def sql_sha(sql):
+        return hashlib.sha256(sql.encode()).hexdigest()[:16]
+    invocation = {"sfdir": sfdir, "outdir": outdir, "gate_factor": gate_factor}
     # Resume: with CHECK_RESUME=1 and an existing artifact, queries already
     # recorded there are kept as-is and skipped — a crash partway through a
     # multi-hour gate (e.g. the factor-50 reconnect OOM this guards against)
@@ -184,10 +185,17 @@ def main():
             prior_inv = {k: prior_doc.get(k) for k in invocation}
             if prior_inv == invocation:
                 prior = prior_doc.get("queries", {})
-                results.update({k: v for k, v in prior.items()
-                                if v.get("status") in ("pass", "policy_skip")})
+                for k, v in prior.items():
+                    if v.get("status") == "policy_skip" and k in policy:
+                        results[k] = v
+                    elif (v.get("status") == "pass" and k in oracle
+                          and v.get("sql_sha") == sql_sha(oracle[k])):
+                        results[k] = v
+                dropped = len(prior) - len(results)
                 if results:
-                    print(f"RESUME  {len(results)} prior results kept from {artifact}")
+                    print(f"RESUME  {len(results)} prior results kept from "
+                          f"{artifact}" + (f" ({dropped} dropped: failed, "
+                          "or oracle SQL changed)" if dropped else ""))
             else:
                 print(f"RESUME REFUSED: artifact invocation {prior_inv} != "
                       f"current {invocation}; starting fresh")
@@ -241,14 +249,29 @@ def main():
             con = connect(sfdir)
         except Exception as e:
             status, detail = "error", f"{type(e).__name__}: {e}"
+            # Reconnect after ANY error, not just timeouts: a DuckDB
+            # OutOfMemoryException leaves the instance's buffers pinned —
+            # measured live at factor 100, the very next query failed a 2KB
+            # allocation and the run wedged. connect() retries with backoff
+            # while the dead instance releases asynchronously.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sfdir)
         sec = round(time.time() - t0, 2)
         results[name] = {"status": status, "sec": sec,
+                         **({"sql_sha": sql_sha(sql)} if status == "pass" else {}),
                          **({"duckdb_sec": t_duck,
                              "compare_sec": round(sec - t_duck, 2)} if t_duck is not None else {}),
                          **({"rows": len(exp)} if status == "pass" else {"detail": detail[:400]})}
         print(f"{status.upper():7s} {name} ({sec}s"
               + (f", duckdb {t_duck}s" if t_duck is not None else "") + ")"
               + ("" if status == "pass" else f": {detail[:200]}"), flush=True)
+        # drop the frames before the next oracle runs: at factor 100 a
+        # multi-M-row exp/got pair holds GBs that the next query's DuckDB
+        # execution needs
+        exp_raw = exp = got = None
         dump_partial()  # crash-safe: the artifact is valid after every query
     for name, pol in sorted(policy.items()):
         if pol.get("max_gate_factor", 10**9) < gate_factor and name not in results:
