@@ -100,15 +100,17 @@ object Bench {
     // of BENCH_rN vs rN-1 was dominated by 10-15% uniform host drift that
     // had to be reconstructed from medians of untouched queries). Warmed
     // once like every other line so JIT is excluded.
-    val calibration = {
+    def calibCpuFrame = {
       import org.apache.spark.sql.functions._
-      def frame = spark.range(0L, 4000000L, 1L, 64)
+      spark.range(0L, 4000000L, 1L, 64)
         .select((1 to 8).foldLeft(col("id").cast("string"))((c, _) => md5(c)).as("h"))
         // decimal sum: 4M xxhash64 longs overflow a BIGINT sum under ANSI
         .agg(sum(xxhash64(col("h")).cast("decimal(38,0)")).as("s"))
-      try run(frame) catch { case _: Throwable => () }
+    }
+    val calibration = {
+      try run(calibCpuFrame) catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      val ok = try { run(frame); true } catch {
+      val ok = try { run(calibCpuFrame); true } catch {
         case e: Throwable => errors("q_calibration") = sanitize(e); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -136,9 +138,9 @@ object Bench {
     // very state this line exists to measure. Plain-encoded fixed-width
     // columns keep decode cheap relative to the byte volume, so the time
     // tracks the I/O path, not expression work.
+    val ioDir = sys.env.getOrElse("SPARK_GRAFT_CALIB_IO_DIR", "/tmp/graft_calib_io")
     val calibrationIo = {
       import org.apache.spark.sql.functions._
-      val ioDir = sys.env.getOrElse("SPARK_GRAFT_CALIB_IO_DIR", "/tmp/graft_calib_io")
       val ok0 = try {
         if (!new java.io.File(ioDir, "_SUCCESS").isFile)
           spark.range(0L, 8000000L, 1L, 32)
@@ -177,14 +179,49 @@ object Bench {
       "q_groups_warm" -> (if (ok) dt else -dt)
     }
 
-    val results = calibration +: calibrationIo +: dagWarm +: groupsWarm +: ordered.map { case (name, fn) =>
+    // Memo lifecycle mirrors Verify: each memoized family (shared vault
+    // cache, simhash/groups frames) is released right AFTER its last
+    // consumer's timed line — outside the timer, so no query's number
+    // changes (the warm lines still carry the fills; no later consumer
+    // exists to refill). At factor 100 the accumulated caches are what
+    // OOM'd the default heap in Verify (BUILDER_NOTES incident 2); the
+    // bench holds the same frames and runs the same surface.
+    def usesDagMemo(n: String) = n.startsWith("q_dag_")
+    val corpusMemoUsers = Set("q_canonical_selection", "q_dedup_groups", "q_simhash_pairs")
+    val results = calibration +: calibrationIo +: dagWarm +: groupsWarm +: ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch {
         case e: Throwable => errors(name) = sanitize(e); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val rest = ordered.drop(i + 1)
+      if (usesDagMemo(name) && !rest.exists(kv => usesDagMemo(kv._1)))
+        try queries.DagQueries.releaseMemos(spark, sfDir) catch { case _: Throwable => () }
+      if (corpusMemoUsers(name) && !rest.exists(kv => corpusMemoUsers(kv._1)))
+        try queries.CorpusQueries.releaseMemos(spark, sfDir) catch { case _: Throwable => () }
       name -> (if (ok) dt else -dt)
     }
+    // Trailing calibration pair (r13 verdict "what's wrong" #1): the leading
+    // pair runs FIRST in the sequence, so a contamination burst arriving
+    // MID-run is invisible to the leading ratios — BENCH_r13 read clean
+    // leading ratios (1.38/1.54) while ~10 queries sat 3-10x their idle-twin
+    // values. Re-running both constant-work lines at the END makes any burst
+    // self-describing: leading≈1/trailing>>1 = burst arrived during the run
+    // (late lines suspect), leading>>1/trailing≈1 = burst ended early (early
+    // lines suspect), both>>1 = whole run contaminated. The trailing times
+    // are NOT part of `total` or the per-query map — they are contamination
+    // instrumentation, recorded only as the *_end ratio fields in
+    // BENCH_DETAIL beside the leading ones.
+    def trailingCalib(name: String)(work: => Unit): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { work; true } catch {
+        case e: Throwable => errors(name) = sanitize(e); false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) dt else -dt
+    }
+    val calibrationEndSec = trailingCalib("q_calibration_end") { run(calibCpuFrame) }
+    val calibrationIoEndSec = trailingCalib("q_calibration_io_end") { run(spark.read.parquet(ioDir)) }
     // The driver records a 2000-char stdout tail, so the JSON line must fit
     // by construction: if the full per-query map would overflow, the
     // smallest timings fold into one "q_other" aggregate until it fits
@@ -237,6 +274,11 @@ object Bench {
         },"calibration_io_ratio_vs_idle":${
           if (calibrationIo._2 > 0 && calibrationIoIdleRefSec > 0)
             f(calibrationIo._2 / calibrationIoIdleRefSec) else "-1"
+        },"calibration_ratio_vs_idle_end":${
+          if (calibrationEndSec > 0) f(calibrationEndSec / calibrationIdleRefSec) else "-1"
+        },"calibration_io_ratio_vs_idle_end":${
+          if (calibrationIoEndSec > 0 && calibrationIoIdleRefSec > 0)
+            f(calibrationIoEndSec / calibrationIoIdleRefSec) else "-1"
         },"gate_factor":$gateFactor,"policy_skips":$skipJson,"errors":$errJson,"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()

@@ -60,31 +60,79 @@ object Verify {
     // {SF} in an oracle refers to this run's scale-dir basename (fixture
     // paths written by the query functions are scale-suffixed the same way)
     val sfName = new java.io.File(sfDir).getName
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF}", sfName))}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // on an --only run the policy is bypassed (above), so dump the factor
-    // with an EMPTY policy map AND an explicit "only" marker —
-    // check_timed.py refuses to run a full-surface gate against an outdir
-    // whose policy file carries it (a full check against an --only outdir
-    // would otherwise silently record zero policy_skip rows)
-    if (gateFactor > 1 && only.isDefined) {
-      Files.writeString(Paths.get(s"$outDir/scale_policy.json"),
-        s"""{"gate_factor": $gateFactor, "only": true, "policy": {}}""")
+    only match {
+      case Some(_) =>
+        // --only rescue/iteration runs MERGE into an existing
+        // oracle_sql.json instead of clobbering it: the documented
+        // incident-2 workflow reuses a gate outdir, and overwriting the
+        // full-surface oracle with the partial set would destroy the
+        // compare metadata for every already-finished output (Jackson is
+        // on Spark's classpath; the hand-rolled writer below stays the
+        // full-run path so the driver-facing artifact is byte-unchanged)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val p = Paths.get(s"$outDir/oracle_sql.json")
+        val merged: java.util.LinkedHashMap[String, Object] =
+          if (Files.exists(p))
+            mapper.readValue(p.toFile, classOf[java.util.LinkedHashMap[String, Object]])
+          else new java.util.LinkedHashMap[String, Object]()
+        SparkEntry.oracleSql.filter(kv => keep(kv._1)).foreach { case (k, v) =>
+          merged.put(k, v.replace("{SF}", sfName))
+        }
+        mapper.writeValue(p.toFile, merged)
+        // EVERY --only run (any factor — gateFactor 1 included) marks the
+        // outdir's scale_policy.json with "only": true: the outdir now
+        // holds a partial, policy-bypassed surface, and check_timed.py
+        // must refuse to read it as a full-surface gate. An existing full
+        // policy map is PRESERVED under the marker (re-running full Verify
+        // rewrites the file clean), so CHECK_ALLOW_ONLY=1 compares still
+        // see the real policy.
+        val sp = Paths.get(s"$outDir/scale_policy.json")
+        val doc: java.util.LinkedHashMap[String, Object] =
+          if (Files.exists(sp))
+            mapper.readValue(sp.toFile, classOf[java.util.LinkedHashMap[String, Object]])
+          else {
+            val d = new java.util.LinkedHashMap[String, Object]()
+            d.put("gate_factor", Integer.valueOf(gateFactor))
+            d.put("policy", new java.util.LinkedHashMap[String, Object]())
+            d
+          }
+        doc.put("only", java.lang.Boolean.TRUE)
+        mapper.writeValue(sp.toFile, doc)
+      case None =>
+        val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+          .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF}", sfName))}" }
+          .mkString("{", ",", "}")
+        Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+        if (gateFactor > 1) {
+          SparkEntry.scalePolicy.foreach { case (name, (f, _)) =>
+            if (f < gateFactor)
+              System.err.println(s"[verify] $name policy-skip at factor $gateFactor (max $f)")
+          }
+          val pj = SparkEntry.scalePolicy.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
+            s"${q(k)}: {${q("max_gate_factor")}: $f, ${q("reason")}: ${q(r)}}"
+          }.mkString("{", ",", "}")
+          Files.writeString(Paths.get(s"$outDir/scale_policy.json"),
+            s"""{"gate_factor": $gateFactor, "policy": $pj}""")
+        } else {
+          // a full factor-1 run into a reused outdir must not leave a
+          // stale gate policy behind — check_timed would fabricate
+          // policy_skip rows from it
+          Files.deleteIfExists(Paths.get(s"$outDir/scale_policy.json"))
+        }
     }
-    if (gateFactor > 1 && only.isEmpty) {
-      SparkEntry.scalePolicy.foreach { case (name, (f, _)) =>
-        if (f < gateFactor)
-          System.err.println(s"[verify] $name policy-skip at factor $gateFactor (max $f)")
-      }
-      val pj = SparkEntry.scalePolicy.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
-        s"${q(k)}: {${q("max_gate_factor")}: $f, ${q("reason")}: ${q(r)}}"
-      }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/scale_policy.json"),
-        s"""{"gate_factor": $gateFactor, "policy": $pj}""")
-    }
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    // Sorted, not Map hash order: deterministic run order (matches
+    // check_timed's print order) and — the point — each memo family's
+    // consumers run contiguously-enough that the family can be freed right
+    // after its LAST consumer. At factor 100 the accumulated memoized
+    // persists (the shared vault cache + the simhash fingerprint/pair/group
+    // frames) OOM'd the default 8g heap 93 queries in (BUILDER_NOTES
+    // incident 2, rescued with SPARK_DRIVER_MEM=64g); the memos refill on
+    // demand, so releasing after the final consumer costs nothing and the
+    // rest of the gate runs with a clean store.
+    val ordered = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
+    def usesDagMemo(n: String) = n.startsWith("q_dag_")
+    val corpusMemoUsers = Set("q_canonical_selection", "q_dedup_groups", "q_simhash_pairs")
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try {
         // repartition(1), NOT coalesce(1): coalesce collapses everything
@@ -102,6 +150,17 @@ object Verify {
           f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      val rest = ordered.drop(i + 1)
+      if (usesDagMemo(name) && !rest.exists(kv => usesDagMemo(kv._1))) {
+        System.err.println("[verify] releasing DAG vault memo (last consumer done)")
+        try queries.DagQueries.releaseMemos(spark, sfDir)
+        catch { case e: Throwable => System.err.println(s"[verify] release failed: ${e.getMessage}") }
+      }
+      if (corpusMemoUsers(name) && !rest.exists(kv => corpusMemoUsers(kv._1))) {
+        System.err.println("[verify] releasing corpus simhash/groups memos (last consumer done)")
+        try queries.CorpusQueries.releaseMemos(spark, sfDir)
+        catch { case e: Throwable => System.err.println(s"[verify] release failed: ${e.getMessage}") }
       }
     }
     spark.stop()

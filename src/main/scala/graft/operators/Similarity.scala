@@ -210,8 +210,16 @@ object Similarity {
       // guarantees probe-side parallelism under every join strategy; the
       // explicit count also stops AQE coalescing it back down (the shuffle
       // BYTES are tiny, the join WORK is quadratic — byte-based advisory
-      // sizing cannot see that).
-      .repartition(saltBuckets, col("cluster_id"), col("__salt"))
+      // sizing cannot see that). The count is max(saltBuckets, cluster
+      // parallelism), NOT saltBuckets alone: salt count is a skew knob
+      // (how many ways one hot cluster splits), stage width is a cluster
+      // knob — pinning the stage to the salt count would cap the verify
+      // at 32 tasks on a 1000-core cluster. (cluster_id, __salt) has
+      // ~k·saltBuckets distinct keys, far above either count, so the
+      // extra partitions stay populated.
+      .repartition(
+        math.max(saltBuckets, embeddings.sparkSession.sparkContext.defaultParallelism),
+        col("cluster_id"), col("__salt"))
     val b = assigned.select(col("cluster_id"), col("__id").as("b_id"),
       col("__v").as("__vb"), col("__n").as("__nb"))
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))

@@ -3026,7 +3026,13 @@ object CorpusQueries {
       (s, dir) => Curation.lmScore(t(s, dir, "documents"), "doc_id", "text"),
       Some("""
         WITH fam AS MATERIALIZED (
-          SELECT min(doc_id) AS gid, list(doc_id) AS members, count(*) AS m, text
+          -- DISTINCT members: if a doc_id ever appeared k times with the
+          -- same text, list(doc_id) would hold it k times and the final
+          -- documents-side join would fan out k*k rows where the engine's
+          -- doc-grain groupBy emits k — distinct members keep the member
+          -- expansion unique per doc_id under key duplication (no-op on
+          -- the fixtures, where doc_id is unique)
+          SELECT min(doc_id) AS gid, list(DISTINCT doc_id) AS members, count(*) AS m, text
           FROM documents GROUP BY text),
         toks AS (SELECT gid, m, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk FROM fam),
         bg AS MATERIALIZED (

@@ -186,7 +186,14 @@ def main():
             if prior_inv == invocation:
                 prior = prior_doc.get("queries", {})
                 for k, v in prior.items():
-                    if v.get("status") == "policy_skip" and k in policy:
+                    # a prior policy_skip row is only still valid if the
+                    # CURRENT policy also skips this query at this factor —
+                    # if a registry cap was raised so the query must now run,
+                    # keeping the stale row would silently skip the value
+                    # check while still counting toward a green gate
+                    if (v.get("status") == "policy_skip" and k in policy
+                            and policy[k].get("max_gate_factor",
+                                              float("inf")) < gate_factor):
                         results[k] = v
                     elif (v.get("status") == "pass" and k in oracle
                           and v.get("sql_sha") == sql_sha(oracle[k])):
