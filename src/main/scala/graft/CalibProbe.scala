@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Host-class fingerprint probe: times the EXACT calibration workloads the
+  * bench embeds (the fixed-work CPU line and the constant-parquet I/O line)
+  * K times each inside ONE warm JVM, plus a Spark-free single-thread md5
+  * throughput figure. Exists because idle reference pins are host-CLASS
+  * constants (Bench.scala: 0.599s CPU / 0.382s I/O, recorded on the
+  * r10/r12 host generation) — when the driver recycles the VM onto a new
+  * generation, the ratios misread until re-pinned, and a single bench run
+  * cannot distinguish "host is uniformly slower" from "a contamination
+  * burst hit the calibration line". Repeated same-JVM timings separate the
+  * two: a slower-but-quiet host gives a tight distribution at a new level;
+  * a noisy neighbour gives a wide one. Run it idle (load1 < 0.3), never
+  * concurrently with another Spark main.
+  *
+  * Usage: `runMain graft.CalibProbe [reps]` — prints one JSON line with
+  * min/median/max for both lines; re-pin from the MEDIAN of an idle run
+  * (min undershoots: it captures the best-case scheduler alignment, which
+  * a mid-bench calibration line never sees).
+  */
+object CalibProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(7)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // single-thread md5 chain, Spark-free: isolates raw core speed from
+    // scheduler/stage-dispatch effects (2.0 M/s on the r14 host generation)
+    val mdSingle = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var h = Array[Byte]('x')
+      var n = 0L
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < 3e9.toLong) {
+        var i = 0
+        while (i < 10000) { h = md.digest(h); i += 1 }
+        n += 10000
+      }
+      n / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+
+    // identical to Bench.calibCpuFrame — the pin target
+    def calibCpuFrame = spark.range(0L, 4000000L, 1L, 64)
+      .select((1 to 8).foldLeft(col("id").cast("string"))((c, _) => md5(c)).as("h"))
+      .agg(sum(xxhash64(col("h")).cast("decimal(38,0)")).as("s"))
+    // identical to Bench's calibrationIo read side (dir created if absent)
+    val ioDir = sys.env.getOrElse("SPARK_GRAFT_CALIB_IO_DIR", "/tmp/graft_calib_io")
+    if (!new java.io.File(ioDir, "_SUCCESS").isFile)
+      spark.range(0L, 8000000L, 1L, 32)
+        .select(col("id"), xxhash64(col("id")).as("h"),
+          md5(col("id").cast("string")).as("s"))
+        .write.option("compression", "none").mode("overwrite").parquet(ioDir)
+
+    def time(work: => Unit): Double = {
+      val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+    }
+    def run(w: => org.apache.spark.sql.DataFrame): Unit = {
+      w.write.format("noop").mode("overwrite").save()
+    }
+    // one untimed warmup each (JIT + codegen cache), like the bench's lead line
+    run(calibCpuFrame); run(spark.read.parquet(ioDir))
+    val cpu = (1 to reps).map(_ => time(run(calibCpuFrame)))
+    val io = (1 to reps).map(_ => time(run(spark.read.parquet(ioDir))))
+    def stats(xs: Seq[Double]) = {
+      val s = xs.sorted
+      (s.head, s(s.size / 2), s.last)
+    }
+    val (cmin, cmed, cmax) = stats(cpu)
+    val (imin, imed, imax) = stats(io)
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val load1 =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    spark.stop()
+    println(s"""{"reps":$reps,"md5_single_mps":${f(mdSingle)},""" +
+      s""""cpu_min":${f(cmin)},"cpu_med":${f(cmed)},"cpu_max":${f(cmax)},""" +
+      s""""io_min":${f(imin)},"io_med":${f(imed)},"io_max":${f(imax)},""" +
+      s""""all_cpu":[${cpu.map(f).mkString(",")}],"all_io":[${io.map(f).mkString(",")}],""" +
+      s""""load1_end":${f(load1)}}""")
+  }
+}
