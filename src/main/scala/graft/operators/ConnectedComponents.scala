@@ -86,11 +86,11 @@ object ConnectedComponents {
     // predicate loop twice), and every propagation round would recompute
     // it again — the checkpointed pair list is scanned instead
     val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     val und = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
     var labels = und.select(col("x").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     // decimal(38,0) so the convergence invariant (sum strictly decreases on
     // any label change) cannot be confused by a bigint overflow wraparound
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -137,7 +137,7 @@ object ConnectedComponents {
       // the default is the measured cost floor j=2, keeping one extra
       // jump over j=1 for layouts where halving does compound
       labels = (1 to jumpsPerRound).foldLeft(stepped)((d, _) => jump(d))
-        .localCheckpoint()
+        .localCheckpoint(true, Checkpoints.Ser)
       prevPinned.foreach(_.unpersist(blocking = false))
       prevPinned = pinnedRdds(labels)
       val nextSum = labelSum(labels)

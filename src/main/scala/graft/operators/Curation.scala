@@ -454,7 +454,7 @@ object Curation {
         // ' a b a b ' — every symbol space-delimited on both sides
         concat(lit(" "), regexp_replace(col("__w"), "(.)", "$1 ")).as("__sym"),
         col("__n"))
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
 
     def pairCounts(vocab: DataFrame): DataFrame = {
       val s = filter(split(trim(col("__sym")), " "), x => x =!= lit(""))
@@ -505,7 +505,7 @@ object Curation {
           .crossJoin(broadcast(best))
           .select(concat(lit(" "), foldMerged, lit(" ")).as("__sym"),
             col("__n"))
-          .localCheckpoint()
+          .localCheckpoint(true, Checkpoints.Ser)
         val row = best
           .filter(col("pair_count") >= 0)
           .select(
@@ -709,7 +709,7 @@ object Curation {
       // eager: materialize the (small, post-aggregation) match frame so the
       // fingerprint cache can be released here instead of leaking for the
       // session lifetime (repeated calls were accumulating storage blocks)
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     fps.unpersist()
     matches
   }

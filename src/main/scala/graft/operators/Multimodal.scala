@@ -470,7 +470,7 @@ object Multimodal {
       // eager: the post-distinct pair frame is small; materializing it here
       // lets the banded cache release instead of leaking for the session
       // (same discipline as winnowMatches)
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     e.unpersist()
     out
   }
@@ -1388,7 +1388,7 @@ object Multimodal {
         col("max_level_diff"))
       // eager: release the banded + level caches instead of leaking them
       // for the session (same discipline as imageNearDupPairs)
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     e.unpersist()
     lv.unpersist()
     out
@@ -1435,7 +1435,7 @@ object Multimodal {
       // eager: the groups frame is linear in corpus size; materializing it
       // here lets the hash cache and the CC label checkpoints release
       // instead of leaking for the session (imageNearDupPairs discipline)
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     ConnectedComponents.releaseResult(labels)
     hs.unpersist()
     out
@@ -1492,7 +1492,7 @@ object Multimodal {
       .select(col("doc_id").as("member_id"),
         coalesce(col("label"), col("__gid")).as("group_id"),
         (col("doc_id") === coalesce(col("label"), col("__gid"))).as("is_canonical"))
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     ConnectedComponents.releaseResult(labels)
     ffps.unpersist()
     lv.unpersist()

@@ -77,7 +77,7 @@ object PageRank {
         .select(col("node"),
           (lit(1.0 - damping) + (lit(damping) * coalesce(col("__s"), lit(0.0))))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(true, Checkpoints.Ser)
     }
     // the final localCheckpoint is eager, so every iteration has already
     // read the cached frames — release them rather than leak session-long

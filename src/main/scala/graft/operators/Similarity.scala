@@ -168,7 +168,7 @@ object Similarity {
         // truncate the lineage each iteration: the frame is k tiny rows,
         // but without this the plan compounds per iteration and dominates
         // at iters >> 3 (planning cost, not data cost)
-        .localCheckpoint()
+        .localCheckpoint(true, Checkpoints.Ser)
     }
     centroids
   }

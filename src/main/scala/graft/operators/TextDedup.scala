@@ -317,7 +317,7 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       // eager: release the family caches at return instead of leaking them
       // for the session (blockedJaccardPairs discipline)
-      .localCheckpoint()
+      .localCheckpoint(true, Checkpoints.Ser)
     famL.unpersist()
     famR.unpersist()
     out
@@ -481,7 +481,7 @@ object TextDedup {
     // release instead of occupying executor storage for the session (it
     // otherwise outlives the call — e.g. through a whole timed bench run
     // after warmup). Same discipline as imageNearDupPairs/winnowMatches.
-    val out = same.unionByName(cross).localCheckpoint()
+    val out = same.unionByName(cross).localCheckpoint(true, Checkpoints.Ser)
     mem.unpersist()
     out
   }

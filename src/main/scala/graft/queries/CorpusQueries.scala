@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{ConnectedComponents, Curation, Dedup, Multimodal, PageRank, SetSimJoin, Similarity, TextDedup}
+import graft.operators.{Checkpoints, ConnectedComponents, Curation, Dedup, Multimodal, PageRank, SetSimJoin, Similarity, TextDedup}
 import Q.t
 
 /** Training-data pipeline queries over the `documents` / `embeddings`
@@ -2499,7 +2499,7 @@ object CorpusQueries {
           // eager: materialize the 5 summary rows so the s2 cache releases
           // here instead of leaking storage blocks for the session lifetime
           // (the winnowMatches lesson)
-          .localCheckpoint()
+          .localCheckpoint(true, Checkpoints.Ser)
         s2.unpersist()
         out
       },
