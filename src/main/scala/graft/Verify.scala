@@ -128,7 +128,11 @@ object Verify {
     // frames) OOM'd the default 8g heap 93 queries in (BUILDER_NOTES
     // incident 2, rescued with SPARK_DRIVER_MEM=64g); the memos refill on
     // demand, so releasing after the final consumer costs nothing and the
-    // rest of the gate runs with a clean store.
+    // rest of the gate runs with a clean store. Since the serialized
+    // checkpoint change (Checkpoints.Ser) the single-query f100 repro of
+    // that incident passes value-exact ON the default heap (319.5s, r14),
+    // so SPARK_DRIVER_MEM on large-factor gates is insurance for the
+    // full-surface run, no longer a requirement for any one query.
     val ordered = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
     def usesDagMemo(n: String) = n.startsWith("q_dag_")
     val corpusMemoUsers = Set("q_canonical_selection", "q_dedup_groups", "q_simhash_pairs")
