@@ -45,6 +45,10 @@ object Bench {
     // on adjudicated-out lines. Default 1 = no skips (the driver's sf0.1
     // run and same-factor comparisons are unchanged).
     val gateFactor = sys.env.get("SPARK_GRAFT_GATE_FACTOR").map(_.toInt).getOrElse(1)
+    // mid-run calibration tick cadence (queries between ticks); ~5 ticks on
+    // the 172-line surface at the default, <3s total overhead at idle
+    val tickEvery = sys.env.get("SPARK_GRAFT_TICK_EVERY")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(30)
     val policy = SparkEntry.scalePolicy
     def policySkip(name: String): Boolean =
       policy.get(name).exists(_._1 < gateFactor)
@@ -71,6 +75,23 @@ object Bench {
     // emitted as a NEGATIVE sentinel and its error lands in BENCH_DETAIL's
     // "errors" map, so a regression can't masquerade as a speedup.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // Burst localization (r14 verdict #1): the leading/trailing calibration
+    // pair can BRACKET a host-contention burst but not place it — with
+    // medians-only adjudication any individual inflated line stayed
+    // ambiguous. Two additions make bursts mappable to specific lines:
+    // (a) every timed line records its START offset from the first timed
+    // line (t_start map in BENCH_DETAIL) so a line can be placed inside or
+    // outside a burst window post-hoc; (b) a cheap fixed-work CPU
+    // calibration tick runs every TICK_EVERY queries (~0.6s idle, <3s total
+    // overhead), timestamped the same way — consecutive ticks whose ratio
+    // vs the idle pin reads >>1 delimit the burst window in wall-clock
+    // terms. Neither is part of `total` or the per-query map.
+    val tStart = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    val runT0 = System.nanoTime()
+    def offsNow(): Double = (System.nanoTime() - runT0) / 1e9
+    def markStart(name: String): Unit = tStart(name) = offsNow()
     // strip quote/backslash AND every control char (RFC 8259 requires all of
     // U+0000–U+001F escaped — a \b or \f in an exception message must not
     // invalidate BENCH_DETAIL.json exactly when a query fails)
@@ -84,6 +105,7 @@ object Bench {
     // Same ok/negative-sentinel discipline as the per-query loop: a
     // warmShared crash must not read as a fast success.
     val dagWarm = {
+      markStart("q_dag_warm")
       val t0 = System.nanoTime()
       val ok = try { queries.DagQueries.warmShared(spark, sfDir); true } catch {
         case e: Throwable => errors("q_dag_warm") = sanitize(e); false
@@ -109,6 +131,7 @@ object Bench {
     }
     val calibration = {
       try run(calibCpuFrame) catch { case _: Throwable => () }
+      markStart("q_calibration")
       val t0 = System.nanoTime()
       val ok = try { run(calibCpuFrame); true } catch {
         case e: Throwable => errors("q_calibration") = sanitize(e); false
@@ -149,6 +172,7 @@ object Bench {
             .write.option("compression", "none").mode("overwrite").parquet(ioDir)
         true
       } catch { case e: Throwable => errors("q_calibration_io") = sanitize(e); false }
+      markStart("q_calibration_io")
       val t0 = System.nanoTime()
       val ok = ok0 && (try { run(spark.read.parquet(ioDir)); true } catch {
         case e: Throwable => errors("q_calibration_io") = sanitize(e); false
@@ -171,6 +195,7 @@ object Bench {
     // both read the memoized frame, and the alphabetically-first consumer
     // was paying the whole iterative fill on its line
     val groupsWarm = {
+      markStart("q_groups_warm")
       val t0 = System.nanoTime()
       val ok = try { queries.CorpusQueries.warmGroups(spark, sfDir); true } catch {
         case e: Throwable => errors("q_groups_warm") = sanitize(e); false
@@ -189,6 +214,15 @@ object Bench {
     def usesDagMemo(n: String) = n.startsWith("q_dag_")
     val corpusMemoUsers = Set("q_canonical_selection", "q_dedup_groups", "q_simhash_pairs")
     val results = calibration +: calibrationIo +: dagWarm +: groupsWarm +: ordered.zipWithIndex.map { case ((name, fn), i) =>
+      // mid-run calibration tick: fixed CPU work every TICK_EVERY queries —
+      // a tick's sec vs the idle pin timestamps host contention in-run
+      if (i > 0 && i % tickEvery == 0) {
+        val tickOff = offsNow()
+        val tk0 = System.nanoTime()
+        try run(calibCpuFrame) catch { case _: Throwable => () }
+        ticks += ((i, tickOff, (System.nanoTime() - tk0) / 1e9))
+      }
+      markStart(name)
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch {
         case e: Throwable => errors(name) = sanitize(e); false
@@ -213,6 +247,7 @@ object Bench {
     // instrumentation, recorded only as the *_end ratio fields in
     // BENCH_DETAIL beside the leading ones.
     def trailingCalib(name: String)(work: => Unit): Double = {
+      markStart(name)
       val t0 = System.nanoTime()
       val ok = try { work; true } catch {
         case e: Throwable => errors(name) = sanitize(e); false
@@ -266,6 +301,22 @@ object Bench {
       val skipJson = SparkEntry.scalePolicy.toSeq.sortBy(_._1)
         .collect { case (k, (f, _)) if f < gateFactor => "\"" + k + "\":" + f }
         .mkString("{", ",", "}")
+      // per-line start offsets + mid-run ticks (burst localization — see the
+      // comment at tStart's declaration). t_start keys mirror the queries
+      // map plus the two trailing *_end lines; calib_ticks entries carry the
+      // tick's ratio vs the CPU idle pin so a burst window reads directly.
+      val tStartJson = tStart.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+        .mkString("{", ",", "}")
+      val ticksJson = ticks.map { case (i, t, sec) =>
+        s"""{"after_n":$i,"t":${f2(t)},"sec":${f(sec)},"ratio_vs_idle":${
+          f(sec / calibrationIdleRefSec)}}"""
+      }.mkString("[", ",", "]")
+      val howToRead = "A line is burst-suspect iff its [t_start, t_start+sec] window " +
+        "overlaps a wall-clock span where bracketing calibration reads (leading pair, " +
+        "calib_ticks, trailing *_end pair) show ratio_vs_idle >> 1; ticks at ~1.0 on " +
+        "both sides of a line clear it. Leading~1 + trailing>>1 = burst arrived mid-run " +
+        "(use ticks to find where); leading>>1 + trailing~1 = burst died early; " +
+        "both>>1 = whole run contaminated, use an idle twin."
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
@@ -279,7 +330,7 @@ object Bench {
         },"calibration_io_ratio_vs_idle_end":${
           if (calibrationIoEndSec > 0 && calibrationIoIdleRefSec > 0)
             f(calibrationIoEndSec / calibrationIoIdleRefSec) else "-1"
-        },"gate_factor":$gateFactor,"policy_skips":$skipJson,"errors":$errJson,"queries":$detail}""" + "\n")
+        },"gate_factor":$gateFactor,"policy_skips":$skipJson,"tick_every":$tickEvery,"calib_ticks":$ticksJson,"how_to_read":"$howToRead","t_start":$tStartJson,"errors":$errJson,"queries":$detail}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
     println(fits.getOrElse(line(Seq.empty, total)))

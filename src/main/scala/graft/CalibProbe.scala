@@ -20,10 +20,25 @@ import org.apache.spark.sql.functions._
   * min/median/max for both lines; re-pin from the MEDIAN of an idle run
   * (min undershoots: it captures the best-case scheduler alignment, which
   * a mid-bench calibration line never sees).
+  *
+  * I/O-line semantics differ from Bench's on the FIRST rep only: Bench
+  * deliberately leaves q_calibration_io unwarmed to capture page-cache
+  * state, so its pin (0.382s) is a steady-idle-cache number. The probe
+  * reports its first, unwarmed I/O read separately as `io_cold`; the
+  * min/med/max stats cover the REMAINING reps, which are cache-hot
+  * steady-state and comparable to each other, not to a cold first read.
   */
 object CalibProbe {
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(7)
+    val reps = args.headOption match {
+      case None => 7
+      case Some(a) => a.toIntOption.filter(_ >= 2).getOrElse {
+        // a stack trace here would replace the JSON line this main exists
+        // to print — fail with one readable usage line instead
+        System.err.println(s"usage: graft.CalibProbe [reps>=2] — got '$a'")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -67,10 +82,15 @@ object CalibProbe {
     def run(w: => org.apache.spark.sql.DataFrame): Unit = {
       w.write.format("noop").mode("overwrite").save()
     }
-    // one untimed warmup each (JIT + codegen cache), like the bench's lead line
-    run(calibCpuFrame); run(spark.read.parquet(ioDir))
+    // CPU line: one untimed warmup (JIT + codegen cache), like the bench's
+    // lead line. I/O line: NO warmup — rep 1 is the cold read (the state
+    // Bench's unwarmed line measures); reps 2..n are cache-hot steady-state
+    // (see the scaladoc — the two regimes must not be pooled in one stat).
+    run(calibCpuFrame)
     val cpu = (1 to reps).map(_ => time(run(calibCpuFrame)))
-    val io = (1 to reps).map(_ => time(run(spark.read.parquet(ioDir))))
+    val ioAll = (1 to reps).map(_ => time(run(spark.read.parquet(ioDir))))
+    val ioCold = ioAll.head
+    val io = ioAll.tail
     def stats(xs: Seq[Double]) = {
       val s = xs.sorted
       (s.head, s(s.size / 2), s.last)
@@ -84,8 +104,9 @@ object CalibProbe {
     spark.stop()
     println(s"""{"reps":$reps,"md5_single_mps":${f(mdSingle)},""" +
       s""""cpu_min":${f(cmin)},"cpu_med":${f(cmed)},"cpu_max":${f(cmax)},""" +
-      s""""io_min":${f(imin)},"io_med":${f(imed)},"io_max":${f(imax)},""" +
-      s""""all_cpu":[${cpu.map(f).mkString(",")}],"all_io":[${io.map(f).mkString(",")}],""" +
+      s""""io_cold":${f(ioCold)},""" +
+      s""""io_hot_min":${f(imin)},"io_hot_med":${f(imed)},"io_hot_max":${f(imax)},""" +
+      s""""all_cpu":[${cpu.map(f).mkString(",")}],"all_io":[${ioAll.map(f).mkString(",")}],""" +
       s""""load1_end":${f(load1)}}""")
   }
 }

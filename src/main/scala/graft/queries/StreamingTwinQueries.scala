@@ -83,6 +83,18 @@ object StreamingTwinQueries {
     // the banding is SQL-replayable: corpus = 80% of documents, batch =
     // the top-10% md5 bucket; LSH candidates probe the index and are
     // exact-Jaccard verified — the oracle replays banding AND verify.
+    //
+    // SCALE CONTRACT (r14 adjudication, BUILDER_NOTES): on a replicated
+    // corpus the pair OUTPUT is O(factor²) — each duplicate family of f
+    // copies splits into ~0.1f batch × ~0.8f corpus members, so true
+    // output pairs grow ~0.08·f² per family (same mechanism as the four
+    // maxGateFactor-capped *_pairs queries, milder constant because only
+    // the batch×corpus cross-product materializes, never C(f,2)). Expect
+    // a ~4x wall response per 2x factor on exact-replica corpora; this is
+    // the contractual output size, not a plan regression. NO cap: it
+    // passes value-exact at factor 100 (369s isolated, r14), and real
+    // streams don't replay 100 identical copies of every document — the
+    // quadratic term is an artifact of the gate corpus's construction.
     Q("q_stream_neardup_batch",
       (s, dir) => {
         val docs = t(s, dir, "documents")
