@@ -83,10 +83,17 @@ object Bench {
     // (a) every timed line records its START offset from the first timed
     // line (t_start map in BENCH_DETAIL) so a line can be placed inside or
     // outside a burst window post-hoc; (b) a cheap fixed-work CPU
-    // calibration tick runs every TICK_EVERY queries (~0.6s idle, <3s total
-    // overhead), timestamped the same way — consecutive ticks whose ratio
-    // vs the idle pin reads >>1 delimit the burst window in wall-clock
-    // terms. Neither is part of `total` or the per-query map.
+    // calibration tick runs every TICK_EVERY queries (<2s each, <10s total
+    // overhead), timestamped the same way. MEASURED TICK SEMANTICS (two
+    // back-to-back r15 sf0.1 runs): ticks read a reproducible ~3.0x the
+    // JVM-fresh idle pin while the memoized family caches are held, and
+    // drop to ~1.0 after the last memo release — the allocation-heavy md5
+    // chain is GC/storage-pressure-coupled, so a tick's level reflects the
+    // run's CACHE STATE as much as the host. Read ticks positionally:
+    // tick i of run A vs tick i of run B (same tick_every, same surface)
+    // shares cache state by construction — a burst is a tick >> its
+    // cross-run level at the same position, NOT simply >1 vs the pin.
+    // Neither ticks nor offsets are part of `total` or the per-query map.
     val tStart = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ticks = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     val runT0 = System.nanoTime()
@@ -312,11 +319,14 @@ object Bench {
           f(sec / calibrationIdleRefSec)}}"""
       }.mkString("[", ",", "]")
       val howToRead = "A line is burst-suspect iff its [t_start, t_start+sec] window " +
-        "overlaps a wall-clock span where bracketing calibration reads (leading pair, " +
-        "calib_ticks, trailing *_end pair) show ratio_vs_idle >> 1; ticks at ~1.0 on " +
-        "both sides of a line clear it. Leading~1 + trailing>>1 = burst arrived mid-run " +
-        "(use ticks to find where); leading>>1 + trailing~1 = burst died early; " +
-        "both>>1 = whole run contaminated, use an idle twin."
+        "overlaps a span where bracketing calibration reads show contamination. " +
+        "Leading/trailing pairs compare to the JVM-fresh idle pin directly. Mid-run " +
+        "calib_ticks are cache-state-coupled (measured ~3.0x the pin while memo " +
+        "caches are held, ~1.0 after release, reproducibly at idle) — compare tick i " +
+        "against tick i of another run at the same tick_every, not against 1.0; a " +
+        "burst is a tick >> its cross-run positional level. Leading~1 + trailing>>1 " +
+        "= burst arrived mid-run (ticks localize it); leading>>1 + trailing~1 = " +
+        "burst died early; both>>1 = whole run contaminated, use an idle twin."
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
