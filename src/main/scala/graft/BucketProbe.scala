@@ -86,13 +86,17 @@ object BucketProbe {
 
     def bucketJoined =
       rollup(graft.core.Bucketing.bucketJoin(spark, "bp_orders", "bp_customer", "ck"))
-    // the plan-shape claim, checked on the thing being timed: no shuffle on
-    // either side of the bucketed join (broadcast disabled so the planner
-    // can't sidestep the question at factors where the dim still fits)
+    // the plan-shape claim, checked on the BARE join (the rollup's own
+    // aggregation exchange on c_mktsegment is legitimate and unrelated):
+    // no shuffle on either side of the bucketed join, with broadcast
+    // disabled so the planner can't sidestep the question at factors
+    // where the dim still fits
     val exchangeFree = {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val plan = bucketJoined.queryExecution.executedPlan.toString
+        val plan = graft.core.Bucketing
+          .bucketJoin(spark, "bp_orders", "bp_customer", "ck")
+          .queryExecution.executedPlan.toString
         !plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
