@@ -91,6 +91,10 @@ object BucketProbe {
     // no shuffle on either side of the bucketed join, with broadcast
     // disabled so the planner can't sidestep the question at factors
     // where the dim still fits
+    // restore the SAVED prior threshold, not a hardcoded default: hardcoding
+    // would clobber a non-default session conf and make plain_auto_sec
+    // silently measure the hardcode instead of the session's setting
+    val savedBroadcastThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val exchangeFree = {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
@@ -98,20 +102,20 @@ object BucketProbe {
           .bucketJoin(spark, "bp_orders", "bp_customer", "ck")
           .queryExecution.executedPlan.toString
         !plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcastThreshold)
     }
 
     def timedReps(work: => Unit): Seq[Double] = (1 to 2).map(_ => time(work))
     val bucketReps = {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try timedReps(noop(bucketJoined))
-      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcastThreshold)
     }
     def plainJoined = rollup(orders.join(customer, "ck"))
     val shuffleReps = {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try timedReps(noop(plainJoined))
-      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcastThreshold)
     }
     val autoReps = timedReps(noop(plainJoined))
 

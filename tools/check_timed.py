@@ -12,6 +12,11 @@ kept as a backstop for a hang in the Python layer itself. A stuck oracle
 records status=timeout and the gate moves on (old connection closed, a
 fresh one opened). Value comparison is identical to check.py (exact,
 NaN-tolerant).
+
+Env: CHECK_RECYCLE_EVERY=N (default 40) reconnects DuckDB every N oracles
+(0 disables); errors additionally retry once on a fresh connection.
+CHECK_RESUME=1 resumes from an existing artifact. CHECK_ALLOW_ONLY=1
+permits a partial (--only) Verify outdir.
 """
 import hashlib
 import json
@@ -139,7 +144,17 @@ def run_with_deadline(con, sql, timeout):
 def main():
     sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    # Periodic connection recycling (r15 verdict #1): the q_repetition f100
+    # incident showed accumulated buffer state on a 100+-query connection can
+    # spill >69 GB and disk-full-fail a query that passes fresh in 287s.
+    # Recycle the DuckDB session every N queries so no oracle ever runs on a
+    # connection that old. 0 disables (for A/B byte-identity comparisons).
+    # Recycling only changes WHICH connection runs a query, never the SQL or
+    # the compare — proven by a stripped-timings diff of recycle-on vs
+    # recycle-off artifacts over the same sf0.01 Verify output (r16 notes).
+    recycle_every = int(os.environ.get("CHECK_RECYCLE_EVERY", "40"))
     con = connect(sfdir)
+    con_queries = 0  # oracles run on the current connection
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Registry-declared scale policy (written by Verify when
     # SPARK_GRAFT_GATE_FACTOR > 1): queries value-gated only up to a lower
@@ -222,56 +237,87 @@ def main():
     for name, sql in sorted(oracle.items()):
         if name in results:
             continue
+        if recycle_every > 0 and con_queries >= recycle_every:
+            # proactive recycle (r15 verdict #1): never let an oracle run on
+            # a connection whose accumulated buffer state is 40+ queries deep
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sfdir)
+            con_queries = 0
+            print(f"RECYCLE fresh connection (every {recycle_every} queries)",
+                  flush=True)
         t0 = time.time()
         t_duck = None  # DuckDB execution wall alone — the watchdog-relevant
         # time; `sec` also includes the pandas normalize + compare, which on
         # multi-M-row outputs can dominate (observed 38s DuckDB vs ~450s
         # total at factor 50) and would otherwise misread as watchdog risk.
-        status, detail = "pass", ""
-        try:
-            exp_raw = run_with_deadline(con, sql, timeout)
-            t_duck = round(time.time() - t0, 2)
-            exp = normalize(exp_raw)
-            got = normalize(pd.read_parquet(f"{outdir}/{name}"))
-            if sorted(exp.columns) != sorted(got.columns):
-                status, detail = "fail", f"columns exp={sorted(exp.columns)} got={sorted(got.columns)}"
-            elif len(exp) != len(got):
-                status, detail = "fail", f"rows exp={len(exp)} got={len(got)}"
-            else:
-                for c in exp.columns:
-                    ev, gv = exp[c].tolist(), got[c].tolist()
-                    bad = next((i for i, (a, b) in enumerate(zip(ev, gv))
-                                if not values_equal(a, b)), None)
-                    if bad is not None:
-                        status = "fail"
-                        detail = f"value mismatch col={c} row={bad} exp={ev[bad]!r} got={gv[bad]!r}"
-                        break
-        except Timeout:
-            status, detail = "timeout", f"oracle exceeded {timeout}s"
-            # the connection holds an interrupted query; close it and reopen
+        status, detail, first_error = "pass", "", None
+        for attempt in (1, 2):
+            status, detail = "pass", ""
+            a0 = time.time()
             try:
-                con.close()
-            except Exception:
-                pass
-            con = connect(sfdir)
-        except Exception as e:
-            status, detail = "error", f"{type(e).__name__}: {e}"
-            # Reconnect after ANY error, not just timeouts: a DuckDB
-            # OutOfMemoryException leaves the instance's buffers pinned —
-            # measured live at factor 100, the very next query failed a 2KB
-            # allocation and the run wedged. connect() retries with backoff
-            # while the dead instance releases asynchronously.
-            try:
-                con.close()
-            except Exception:
-                pass
-            con = connect(sfdir)
+                con_queries += 1
+                exp_raw = run_with_deadline(con, sql, timeout)
+                t_duck = round(time.time() - a0, 2)
+                exp = normalize(exp_raw)
+                got = normalize(pd.read_parquet(f"{outdir}/{name}"))
+                if sorted(exp.columns) != sorted(got.columns):
+                    status, detail = "fail", f"columns exp={sorted(exp.columns)} got={sorted(got.columns)}"
+                elif len(exp) != len(got):
+                    status, detail = "fail", f"rows exp={len(exp)} got={len(got)}"
+                else:
+                    for c in exp.columns:
+                        ev, gv = exp[c].tolist(), got[c].tolist()
+                        bad = next((i for i, (a, b) in enumerate(zip(ev, gv))
+                                    if not values_equal(a, b)), None)
+                        if bad is not None:
+                            status = "fail"
+                            detail = f"value mismatch col={c} row={bad} exp={ev[bad]!r} got={gv[bad]!r}"
+                            break
+            except Timeout:
+                status, detail = "timeout", f"oracle exceeded {timeout}s"
+                # the connection holds an interrupted query; close and reopen
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = connect(sfdir)
+                con_queries = 0
+            except Exception as e:
+                status, detail = "error", f"{type(e).__name__}: {e}"
+                # Reconnect after ANY error, not just timeouts: a DuckDB
+                # OutOfMemoryException leaves the instance's buffers pinned —
+                # measured live at factor 100, the very next query failed a
+                # 2KB allocation and the run wedged. connect() retries with
+                # backoff while the dead instance releases asynchronously.
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = connect(sfdir)
+                con_queries = 0
+            if status == "error" and attempt == 1:
+                # Errors retry ONCE on the fresh connection just opened
+                # (r15 verdict #1): spill-class failures (disk-full / OOM on
+                # temp) are connection-state artifacts as often as real bugs
+                # — q_repetition at f100 disk-full-errored at 688s on the
+                # long-lived connection, then passed fresh in 287s with the
+                # same oracle sha. Timeouts are NOT retried (the watchdog
+                # budget is already spent once).
+                first_error = detail
+                print(f"RETRY   {name} on a fresh connection after: "
+                      f"{detail[:150]}", flush=True)
+                continue
+            break
         sec = round(time.time() - t0, 2)
         results[name] = {"status": status, "sec": sec,
                          **({"sql_sha": sql_sha(sql)} if status == "pass" else {}),
                          **({"duckdb_sec": t_duck,
                              "compare_sec": round(sec - t_duck, 2)} if t_duck is not None else {}),
-                         **({"rows": len(exp)} if status == "pass" else {"detail": detail[:400]})}
+                         **({"rows": len(exp)} if status == "pass" else {"detail": detail[:400]}),
+                         **({"retried_after": first_error[:200]} if first_error is not None else {})}
         print(f"{status.upper():7s} {name} ({sec}s"
               + (f", duckdb {t_duck}s" if t_duck is not None else "") + ")"
               + ("" if status == "pass" else f": {detail[:200]}"), flush=True)
