@@ -67,6 +67,15 @@ object Bench {
     // valid only for the same query sequence at the same tick_every; the
     // sha makes a surface change invalidate the baseline loudly instead of
     // silently shifting every tick's position.
+    // KNOWN LIMITATION (ADVICE r16, documented in TICK_BASELINE.json's
+    // valid_iff rather than fixed in code): the sha covers the ordered
+    // query NAMES only, so an implementation change to a same-named query
+    // shifts per-query durations — and therefore each tick's wall position
+    // — while the sha stays "valid". Deliberate trade-off: folding a build
+    // fingerprint in would invalidate the committed baseline on every
+    // tooling-only recompile; instead, any round that changes QUERY code
+    // must re-pin TICK_BASELINE from fresh idle runs (the baseline file
+    // says so).
     val surfaceSha = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.update(ordered.map(_._1).mkString("\n").getBytes("UTF-8"))
@@ -343,7 +352,12 @@ object Bench {
         "against tick i of another run at the same tick_every, not against 1.0; a " +
         "burst is a tick >> its cross-run positional level. The committed idle " +
         "positional levels are pinned in TICK_BASELINE.json — valid iff this " +
-        "artifact's surface_sha and tick_every match the baseline's. Leading~1 + " +
+        "artifact's surface_sha and tick_every match the baseline's. The baseline " +
+        "levels are IDLE-only: under co-load a tick can read BELOW its positional " +
+        "band (early memo eviction/GC under memory pressure — r16 driver run read " +
+        "1.02/1.12 at positions 4-5 vs the idle band ~2.7-3.0); below-level is NOT " +
+        "a burst (bursts only elevate) — adjudicate a co-loaded run via the " +
+        "leading/trailing pairs and tail-query medians, not positions 4-5. Leading~1 + " +
         "trailing>>1 = burst arrived mid-run (ticks localize it); leading>>1 + " +
         "trailing~1 = burst died early; both>>1 = whole run contaminated, use an " +
         "idle twin."
@@ -368,12 +382,16 @@ object Bench {
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
         s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"surface_sha":"$surfaceSha","load1_start":${f2(load1Start)}$load1Note,"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"calibration_ratio_vs_idle":${
-          if (calibration._2 > 0) f(calibration._2 / calibrationIdleRefSec) else "-1"
+          // denominator guarded like the io and tick divisions (ADVICE r16):
+          // an env override of 0 must emit -1, not Infinity (invalid JSON)
+          if (calibration._2 > 0 && calibrationIdleRefSec > 0)
+            f(calibration._2 / calibrationIdleRefSec) else "-1"
         },"calibration_io_ratio_vs_idle":${
           if (calibrationIo._2 > 0 && calibrationIoIdleRefSec > 0)
             f(calibrationIo._2 / calibrationIoIdleRefSec) else "-1"
         },"calibration_ratio_vs_idle_end":${
-          if (calibrationEndSec > 0) f(calibrationEndSec / calibrationIdleRefSec) else "-1"
+          if (calibrationEndSec > 0 && calibrationIdleRefSec > 0)
+            f(calibrationEndSec / calibrationIdleRefSec) else "-1"
         },"calibration_io_ratio_vs_idle_end":${
           if (calibrationIoEndSec > 0 && calibrationIoIdleRefSec > 0)
             f(calibrationIoEndSec / calibrationIoIdleRefSec) else "-1"

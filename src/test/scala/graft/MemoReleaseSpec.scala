@@ -32,6 +32,22 @@ class MemoReleaseSpec extends AnyFunSuite {
     floor
   }
 
+  /** Post-release leak assert robust to the shared-session floor race: an
+    * earlier suite's dropped checkpoint frame can be ContextCleaner-collected
+    * MID-test, pushing the census BELOW a floor read at test start (observed
+    * once in an r17 full-suite run; green in isolation and on rerun — the
+    * strict == asserts this replaces were the flake). A leak is storage that
+    * stays ABOVE baseline after settling; a census below baseline is
+    * cross-suite garbage clearing late, not a release bug.
+    */
+  private def assertSettlesTo(baseline: Int, msg: String): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cachedRdds > baseline && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(cachedRdds <= baseline, msg)
+  }
+
   test("CorpusQueries.releaseMemos returns the group-fill storage to baseline") {
     CorpusQueries.releaseMemos(spark, dir) // reset in case another suite warmed
     val baseline = settledFloor()
@@ -39,11 +55,11 @@ class MemoReleaseSpec extends AnyFunSuite {
     assert(cachedRdds > baseline,
       "warmGroups must pin persisted frames (fingerprints, pairs, groups)")
     CorpusQueries.releaseMemos(spark, dir)
-    assert(cachedRdds == baseline,
+    assertSettlesTo(baseline,
       "releaseMemos must unpersist every frame warmGroups pinned")
     // idempotent: releasing an already-released dir is a no-op
     CorpusQueries.releaseMemos(spark, dir)
-    assert(cachedRdds == baseline)
+    assertSettlesTo(baseline, "repeated release must stay at baseline")
   }
 
   test("warmGroups after release rebuilds the memo (release is not a poison)") {
@@ -51,9 +67,11 @@ class MemoReleaseSpec extends AnyFunSuite {
     CorpusQueries.warmGroups(spark, dir)
     val warmed = cachedRdds
     assert(warmed > 0)
-    // a second warm is a cache hit, not a second pin
+    // a second warm is a cache hit, not a second pin (<=, not ==: a stale
+    // cross-suite frame collecting between the two reads can lower the
+    // census; the leak direction is only upward)
     CorpusQueries.warmGroups(spark, dir)
-    assert(cachedRdds == warmed)
+    assert(cachedRdds <= warmed)
     CorpusQueries.releaseMemos(spark, dir)
   }
 
@@ -79,7 +97,7 @@ class MemoReleaseSpec extends AnyFunSuite {
         s"cycle $cycle $d: consumer queries must have pinned memo frames")
       CorpusQueries.releaseMemos(spark, d)
       DagQueries.releaseMemos(spark, d)
-      assert(cachedRdds == baseline,
+      assertSettlesTo(baseline,
         s"cycle $cycle $d: release must return the persistent-RDD census " +
           s"to baseline ($baseline), not ratchet upward")
     }
@@ -128,7 +146,7 @@ class MemoReleaseSpec extends AnyFunSuite {
     assert(cachedRdds > baseline,
       "warmShared must pin the shared hub/sat frames")
     DagQueries.releaseMemos(spark, dir)
-    assert(cachedRdds == baseline,
+    assertSettlesTo(baseline,
       "releaseMemos must unpersist the whole shared vault cache")
   }
 }

@@ -152,7 +152,16 @@ def main():
     # Recycling only changes WHICH connection runs a query, never the SQL or
     # the compare — proven by a stripped-timings diff of recycle-on vs
     # recycle-off artifacts over the same sf0.01 Verify output (r16 notes).
-    recycle_every = int(os.environ.get("CHECK_RECYCLE_EVERY", "40"))
+    # Parsed defensively (ADVICE r16): a non-integer env value must fall
+    # back to the default with a visible note, not ValueError-crash before
+    # any artifact line is written.
+    try:
+        recycle_every = int(os.environ.get("CHECK_RECYCLE_EVERY", "40"))
+    except ValueError:
+        print(f"WARN CHECK_RECYCLE_EVERY="
+              f"{os.environ['CHECK_RECYCLE_EVERY']!r} is not an integer; "
+              "using default 40", flush=True)
+        recycle_every = 40
     con = connect(sfdir)
     con_queries = 0  # oracles run on the current connection
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -256,6 +265,11 @@ def main():
         status, detail, first_error = "pass", "", None
         for attempt in (1, 2):
             status, detail = "pass", ""
+            # reset per attempt (ADVICE r16): attempt 1 can set t_duck and
+            # then error in the compare; if attempt 2 fails before its own
+            # t_duck assignment, the artifact must not carry attempt 1's
+            # stale duckdb_sec against attempt 2's failure.
+            t_duck = None
             a0 = time.time()
             try:
                 con_queries += 1
@@ -311,11 +325,17 @@ def main():
                       f"{detail[:150]}", flush=True)
                 continue
             break
+        # `sec` is wall from t0 and DELIBERATELY includes any retry (the
+        # operator-facing cost of the query); duckdb_sec/compare_sec are
+        # per-FINAL-attempt (a0 restarts each attempt), so for a retried
+        # query sec > duckdb_sec + compare_sec by attempt 1's spent time
+        # (ADVICE r16 — previously compare_sec spanned both attempts).
         sec = round(time.time() - t0, 2)
+        attempt_sec = round(time.time() - a0, 2)
         results[name] = {"status": status, "sec": sec,
                          **({"sql_sha": sql_sha(sql)} if status == "pass" else {}),
                          **({"duckdb_sec": t_duck,
-                             "compare_sec": round(sec - t_duck, 2)} if t_duck is not None else {}),
+                             "compare_sec": round(attempt_sec - t_duck, 2)} if t_duck is not None else {}),
                          **({"rows": len(exp)} if status == "pass" else {"detail": detail[:400]}),
                          **({"retried_after": first_error[:200]} if first_error is not None else {})}
         print(f"{status.upper():7s} {name} ({sec}s"

@@ -19,6 +19,16 @@ if [ -z "${GRAFT_ROUND:-}" ] && [ -z "${3:-}" ]; then
   echo "         or pass an explicit artifact path as the 3rd argument."
   exit 2
 fi
+# ADVICE r16: an explicit artifact ($3) without GRAFT_ROUND used to fall
+# back to the SHARED /tmp/graft_verify_sf10_adhoc outdir — successive
+# ad-hoc runs could replay a partially-overwritten Verify output against
+# a mismatched oracle_sql.json. Require an explicit outdir ($2) too.
+if [ -z "${GRAFT_ROUND:-}" ] && [ -n "${3:-}" ] && [ -z "${2:-}" ]; then
+  echo "REFUSED: an explicit artifact path (\$3) without GRAFT_ROUND also"
+  echo "         requires an explicit outdir (\$2) — the shared adhoc"
+  echo "         outdir can replay stale Verify output across runs."
+  exit 2
+fi
 SFDIR=${1:-/tmp/graft_sf10r}
 OUTDIR=${2:-/tmp/graft_verify_sf10_${GRAFT_ROUND:-adhoc}}
 ARTIFACT=${3:-/root/repo/CORRECTNESS_sf10_${GRAFT_ROUND}.json}
