@@ -39,6 +39,29 @@ object Bench {
     // so contamination is only visible in the start value
     val load1Start = load1Now()
 
+    // Denominator-side host probe, leading read (r17 verdict #1): a
+    // Spark-free single-thread md5-chain throughput figure — the exact
+    // CalibProbe.md5SingleMps regime HOST_PROBE_r17.json calibrated. The
+    // r17 attempt-3 incident proved a memory-bandwidth co-tenant can
+    // inflate every query line uniformly ~1.23x while all five CPU-bound
+    // calibration ticks AND guest loadavg read idle; this probe is the
+    // only in-artifact signal for that class (it reads the memory path the
+    // ticks' 32-way Spark work hides). Runs BEFORE any Spark job — session
+    // built, zero work dispatched, matching CalibProbe's probe point — and
+    // outside every timed line, so `total`, the per-query map, t_start
+    // offsets, and the committed TICK_BASELINE positions are unperturbed.
+    // ~3s. Compare against host_md5_quiet_mps (below): both lead and trail
+    // near the gate = quiet host; a uniform shortfall (e.g. ~7.2 vs 8.9 in
+    // HOST_PROBE_r17's calib reading) = bandwidth co-tenancy even when
+    // every tick is in-band.
+    val hostMd5Lead = CalibProbe.md5SingleMps()
+    // Quiet-gate reference for the md5 probe on THIS host generation:
+    // 8.93 M/s from CALIB_PROBE_r16.json (true idle). Host-class constant,
+    // same contract as the calibration idle pins — override on any other
+    // host class or the comparison misreads.
+    val hostMd5QuietMps = sys.env.get("SPARK_GRAFT_MD5_QUIET_MPS")
+      .map(_.toDouble).getOrElse(8.93)
+
     // Replicated-corpus bench factor: same registry policy the Verify gate
     // reads — queries whose quadratic pair OUTPUT is policy-capped below
     // this factor are skipped, so a factor-50 bench doesn't spend its wall
@@ -287,6 +310,14 @@ object Bench {
     }
     val calibrationEndSec = trailingCalib("q_calibration_end") { run(calibCpuFrame) }
     val calibrationIoEndSec = trailingCalib("q_calibration_io_end") { run(spark.read.parquet(ioDir)) }
+    // Denominator-side host probe, trailing read: same measurement as the
+    // lead (see its comment), taken after the last timed line so the pair
+    // brackets the run like the calibration pairs do. Session alive but
+    // idle; the post-run JVM carries a populated heap, so residual
+    // background GC can shave this reading slightly at a genuinely quiet
+    // host — adjudicate lead/trail vs the quiet gate together with the
+    // body-median corroboration, not trail alone.
+    val hostMd5Trail = CalibProbe.md5SingleMps()
     // The driver records a 2000-char stdout tail, so the JSON line must fit
     // by construction: if the full per-query map would overflow, the
     // smallest timings fold into one "q_other" aggregate until it fits
@@ -360,7 +391,13 @@ object Bench {
         "leading/trailing pairs and tail-query medians, not positions 4-5. Leading~1 + " +
         "trailing>>1 = burst arrived mid-run (ticks localize it); leading>>1 + " +
         "trailing~1 = burst died early; both>>1 = whole run contaminated, use an " +
-        "idle twin."
+        "idle twin. CONVERSE (r17 attempt 3): in-band ticks canNOT rule out a " +
+        "memory-bandwidth co-tenant that inflates every line uniformly while " +
+        "CPU-bound ticks read idle — host_md5_mps_lead/_trail are the " +
+        "denominator-side probe for that class (Spark-free single-thread md5, " +
+        "CalibProbe.md5SingleMps regime): both near host_md5_quiet_mps = quiet " +
+        "host; a uniform shortfall with in-band ticks = bandwidth co-tenancy, " +
+        "corroborate with body medians vs the prior idle twin."
       // Self-adjudicating load gate (r15 verdict #2): an idle twin recorded
       // at load1_start >= 1 must carry its justification IN the artifact
       // (why the run is still trusted — or that it isn't), not only in
@@ -381,7 +418,7 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
-        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"surface_sha":"$surfaceSha","load1_start":${f2(load1Start)}$load1Note,"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"calibration_ratio_vs_idle":${
+        s"""{"total_sec":${f(total)},"sf":"$sfName","cpus":$cpus,"surface_sha":"$surfaceSha","load1_start":${f2(load1Start)}$load1Note,"load1":${f2(load1)},"uptime_sec":${f(uptimeSec)},"host_md5_mps_lead":${f(hostMd5Lead)},"host_md5_mps_trail":${f(hostMd5Trail)},"host_md5_quiet_mps":${f(hostMd5QuietMps)},"calibration_ratio_vs_idle":${
           // denominator guarded like the io and tick divisions (ADVICE r16):
           // an env override of 0 must emit -1, not Infinity (invalid JSON)
           if (calibration._2 > 0 && calibrationIdleRefSec > 0)

@@ -29,6 +29,31 @@ import org.apache.spark.sql.functions._
   * steady-state and comparable to each other, not to a cold first read.
   */
 object CalibProbe {
+
+  /** Spark-free single-thread md5-chain throughput (M ops/s, ~3s): isolates
+    * raw core + memory-path speed from scheduler/stage-dispatch effects.
+    * This is the exact probe regime HOST_PROBE_r17.json calibrated (JVM-side
+    * quiet gate ~8.9 M/s on the current host generation per
+    * CALIB_PROBE_r16.json; 2.0 M/s on the r14 generation) — shared with
+    * Bench so its lead/trail host fields and this probe's md5_single_mps
+    * are the same measurement by construction. A memory-bandwidth co-tenant
+    * (the r17 attempt-3 class) depresses this figure while CPU-bound Spark
+    * calibration ticks and guest loadavg still read idle.
+    */
+  private[graft] def md5SingleMps(): Double =
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var h = Array[Byte]('x')
+      var n = 0L
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < 3e9.toLong) {
+        var i = 0
+        while (i < 10000) { h = md.digest(h); i += 1 }
+        n += 10000
+      }
+      n / ((System.nanoTime() - t0) / 1e9) / 1e6
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val reps = args.headOption match {
       case None => 7
@@ -49,20 +74,8 @@ object CalibProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // single-thread md5 chain, Spark-free: isolates raw core speed from
-    // scheduler/stage-dispatch effects (2.0 M/s on the r14 host generation)
-    val mdSingle = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var h = Array[Byte]('x')
-      var n = 0L
-      val t0 = System.nanoTime()
-      while (System.nanoTime() - t0 < 3e9.toLong) {
-        var i = 0
-        while (i < 10000) { h = md.digest(h); i += 1 }
-        n += 10000
-      }
-      n / ((System.nanoTime() - t0) / 1e9) / 1e6
-    }
+    // single-thread md5 chain, Spark-free — see md5SingleMps's scaladoc
+    val mdSingle = md5SingleMps()
 
     // identical to Bench.calibCpuFrame — the pin target
     def calibCpuFrame = spark.range(0L, 4000000L, 1L, 64)
