@@ -16,6 +16,13 @@ class MemoReleaseSpec extends AnyFunSuite {
 
   private def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
 
+  /** Identity-level census: the persistent-RDD id set. Counts can lie twice
+    * over (a cross-suite frame collecting mid-test offsets a leak
+    * numerically); ids cannot — a warm-added id still present after release
+    * is a leak regardless of what unrelated frames did in between.
+    */
+  private def cachedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
   /** GC-settle the persistent-RDD census to its floor: earlier suites may
     * have dropped checkpoint-backed result frames that the ContextCleaner
     * has not collected yet — a baseline read before they clear would be
@@ -39,24 +46,48 @@ class MemoReleaseSpec extends AnyFunSuite {
     * strict == asserts this replaces were the flake). A leak is storage that
     * stays ABOVE baseline after settling; a census below baseline is
     * cross-suite garbage clearing late, not a release bug.
+    *
+    * SCOPE (ADVICE r17): this settles, so it only proves eventual
+    * collectability — it would pass a releaseMemos that merely dropped the
+    * memo-map reference and let GC do the work. The EAGER-unpersist half of
+    * the contract is asserted separately via assertEagerlyReleased, which
+    * reads the id census immediately, no GC loop.
     */
-  private def assertSettlesTo(baseline: Int, msg: String): Unit = {
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+  private def assertSettlesTo(baseline: Int, msg: String, deadlineSec: Int = 30): Unit = {
+    val deadline = System.nanoTime() + deadlineSec.toLong * 1000 * 1000 * 1000
     while (cachedRdds > baseline && System.nanoTime() < deadline) {
       System.gc(); Thread.sleep(200)
     }
     assert(cachedRdds <= baseline, msg)
   }
 
+  /** The eager half of the release contract (ADVICE r17): every warm-added
+    * persistent-RDD id must be gone IMMEDIATELY after releaseMemos returns —
+    * unpersist unregisters the RDD synchronously, so no GC loop, no settle.
+    * Id-set based, so a cross-suite frame collecting below baseline mid-test
+    * can neither mask a leaked id nor fail a clean release.
+    */
+  private def assertEagerlyReleased(added: Set[Int], msg: String): Unit = {
+    val leaked = cachedIds & added
+    assert(leaked.isEmpty, s"$msg — warm-added RDD ids still pinned " +
+      s"immediately after release: ${leaked.toSeq.sorted.mkString(",")}")
+  }
+
   test("CorpusQueries.releaseMemos returns the group-fill storage to baseline") {
     CorpusQueries.releaseMemos(spark, dir) // reset in case another suite warmed
     val baseline = settledFloor()
+    val idsBefore = cachedIds
     CorpusQueries.warmGroups(spark, dir)
-    assert(cachedRdds > baseline,
+    val added = cachedIds -- idsBefore
+    assert(added.nonEmpty,
       "warmGroups must pin persisted frames (fingerprints, pairs, groups)")
     CorpusQueries.releaseMemos(spark, dir)
-    assertSettlesTo(baseline,
+    // eager: the pinned ids are unregistered before releaseMemos returns
+    assertEagerlyReleased(added,
       "releaseMemos must unpersist every frame warmGroups pinned")
+    // and the census floor is restored once cross-suite garbage settles
+    assertSettlesTo(baseline,
+      "post-release census must settle back to the pre-warm floor")
     // idempotent: releasing an already-released dir is a no-op
     CorpusQueries.releaseMemos(spark, dir)
     assertSettlesTo(baseline, "repeated release must stay at baseline")
@@ -65,13 +96,16 @@ class MemoReleaseSpec extends AnyFunSuite {
   test("warmGroups after release rebuilds the memo (release is not a poison)") {
     CorpusQueries.releaseMemos(spark, dir)
     CorpusQueries.warmGroups(spark, dir)
-    val warmed = cachedRdds
-    assert(warmed > 0)
-    // a second warm is a cache hit, not a second pin (<=, not ==: a stale
-    // cross-suite frame collecting between the two reads can lower the
-    // census; the leak direction is only upward)
+    val warmedIds = cachedIds
+    assert(warmedIds.nonEmpty)
+    // a second warm is a cache hit, not a second pin. Id-set based (ADVICE
+    // r17): a census-count <= could mask a double-pin if a stale cross-suite
+    // frame collected between the two reads and numerically offset the extra
+    // pin — NO new id may appear, regardless of what old frames collect.
     CorpusQueries.warmGroups(spark, dir)
-    assert(cachedRdds <= warmed)
+    val doubled = cachedIds -- warmedIds
+    assert(doubled.isEmpty, "second warmGroups must be a cache hit, but it " +
+      s"pinned new RDD ids: ${doubled.toSeq.sorted.mkString(",")}")
     CorpusQueries.releaseMemos(spark, dir)
   }
 
@@ -115,14 +149,6 @@ class MemoReleaseSpec extends AnyFunSuite {
     val names = Seq("q_image_phash_groups", "q_audio_neardup_groups",
       "q_video_neardup_groups")
     val qs = SparkEntry.queries
-    // settle: collect checkpoint frames earlier suites may have dropped
-    def settle(target: Int, msg: String): Unit = {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (cachedRdds > target && System.nanoTime() < deadline) {
-        System.gc(); Thread.sleep(200)
-      }
-      assert(cachedRdds <= target, msg)
-    }
     val baseline = settledFloor()
     for (cycle <- 1 to 3) {
       names.foreach(q =>
@@ -133,20 +159,27 @@ class MemoReleaseSpec extends AnyFunSuite {
       assert(cachedRdds <= baseline + names.size,
         s"cycle $cycle: ${cachedRdds - baseline} frames pinned after " +
           s"${names.size} GROUPS calls — a per-call cache leaked past return")
-      settle(baseline,
+      // checkpoint collection is ContextCleaner-paced, not eager — allow the
+      // soak a longer settle than the default eager-release suites use
+      assertSettlesTo(baseline,
         s"cycle $cycle: dropped GROUPS results must be collectable back " +
-          s"to baseline ($baseline) — a hidden reference pins the checkpoint")
+          s"to baseline ($baseline) — a hidden reference pins the checkpoint",
+        deadlineSec = 60)
     }
   }
 
   test("DagQueries.releaseMemos returns the shared vault cache to baseline") {
     DagQueries.releaseMemos(spark, dir)
     val baseline = settledFloor()
+    val idsBefore = cachedIds
     DagQueries.warmShared(spark, dir)
-    assert(cachedRdds > baseline,
+    val added = cachedIds -- idsBefore
+    assert(added.nonEmpty,
       "warmShared must pin the shared hub/sat frames")
     DagQueries.releaseMemos(spark, dir)
-    assertSettlesTo(baseline,
+    assertEagerlyReleased(added,
       "releaseMemos must unpersist the whole shared vault cache")
+    assertSettlesTo(baseline,
+      "post-release census must settle back to the pre-warm floor")
   }
 }
