@@ -87,7 +87,17 @@ object ConnectedComponents {
     // it again — the checkpointed pair list is scanned instead
     val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .localCheckpoint(true, Checkpoints.Ser)
+    // the mirrored edge list is joined on `y` EVERY round; a union carries
+    // no partitioning, so each round re-shuffled the |E| frame (the big
+    // side) just to reach the same layout. Checkpointing it hash-partitioned
+    // on `y` once makes every round's neighbor join exchange-free on the
+    // edge side (guide §2.4) — at corpus scale that is rounds-1 fewer full
+    // edge shuffles. `e`'s own checkpoint blocks are released as soon as the
+    // partitioned copy exists, so peak pinned storage stays one edge list.
     val und = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
+      .repartition(col("y"))
+      .localCheckpoint(true, Checkpoints.Ser)
+    pinnedRdds(e).foreach(_.unpersist(blocking = false))
     var labels = und.select(col("x").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true, Checkpoints.Ser)
@@ -147,7 +157,7 @@ object ConnectedComponents {
     }
     // the mirrored edge list is only read inside the loop; its checkpoint
     // (|E| rows — the big one) is dead weight once the labels converged
-    pinnedRdds(e).foreach(_.unpersist(blocking = false))
+    pinnedRdds(und).foreach(_.unpersist(blocking = false))
     lastRounds = round
     if (!converged) {
       // error path: no frame handle escapes, so the final round's label

@@ -65,19 +65,26 @@ object PageRank {
       .select(col("node"),
         (lit(1.0) / col("__n").cast("double")).as("rank"))
 
-    val finalRanks = (1 to iterations).foldLeft(init) { (ranks, _) =>
+    val finalRanks = (1 to iterations).foldLeft(init) { (ranks, it) =>
       val sums = withDeg
         .join(ranks, withDeg("__src") === ranks("node"))
         .select(col("__dst"),
           (col("rank") / col("__outdeg").cast("double")).as("__contrib"))
         .groupBy(col("__dst"))
         .agg(orderedSum(col("__contrib")).as("__s"))
-      nodes
+      val next = nodes
         .join(sums, nodes("node") === sums("__dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + (lit(damping) * coalesce(col("__s"), lit(0.0))))
             .as("rank"))
-        .localCheckpoint(true, Checkpoints.Ser)
+      // checkpoint ONLY the final frame: that materialization is the
+      // result's storage contract (the cached inputs release safely below).
+      // Intermediate iterations stay lazy — at bounded iteration counts the
+      // unrolled lineage is fine, and each dropped eager checkpoint was a
+      // full extra materialization job + a pinned |V|-row block set per
+      // iteration (for loops with many iterations, re-introduce a periodic
+      // checkpoint — lineage doubles per round).
+      if (it == iterations) next.localCheckpoint(true, Checkpoints.Ser) else next
     }
     // the final localCheckpoint is eager, so every iteration has already
     // read the cached frames — release them rather than leak session-long

@@ -260,10 +260,16 @@ object TextDedup {
     }
     // per-SIDE families (the same text may appear on both sides — its two
     // side-families then pair through banding + verify at jaccard 1.0,
-    // exactly as the doc-grain pairs did)
+    // exactly as the doc-grain pairs did). Member ids are carried OUT of
+    // this aggregation as an array: the expansion step used to re-join the
+    // full doc table back to the family frame ON THE TEXT COLUMN, which
+    // re-shuffled every document's full text bytes a second time per side
+    // (guide §2.3 — shuffle keys/metadata, not payloads); collect_list
+    // ships only the ids inside the groupBy the family build already pays.
     def famOf(df: DataFrame): DataFrame = df
       .groupBy(col(textCol))
-      .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__m"))
+      .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__m"),
+        collect_list(col(idCol)).as("__members"))
     val famL = famOf(left).persist()
     val famR = famOf(right).persist()
     def repsOf(fam: DataFrame): DataFrame =
@@ -301,12 +307,13 @@ object TextDedup {
       .withColumn("jaccard", jaccardFromInter(col("__i"), size(col("__sa")), size(col("__sb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("__ga"), col("__gb"), col("jaccard"))
-    val memL = left.select(col(idCol).as("a_id"), col(textCol))
-      .join(famL.select(col(textCol), col("__gid").as("__ga")), Seq(textCol))
-      .select(col("a_id"), col("__ga"))
-    val memR = right.select(col(idCol).as("b_id"), col(textCol))
-      .join(famR.select(col(textCol), col("__gid").as("__gb")), Seq(textCol))
-      .select(col("b_id"), col("__gb"))
+    // membership comes straight from the family aggregation (same rows the
+    // old text-keyed doc re-join produced: every doc belongs to exactly one
+    // family per side) — no second shuffle of the text payload
+    val memL = famL.select(col("__gid").as("__ga"),
+      explode(col("__members")).as("a_id"))
+    val memR = famR.select(col("__gid").as("__gb"),
+      explode(col("__members")).as("b_id"))
     val out = famPairs
       .join(memL, Seq("__ga"))
       .join(memR, Seq("__gb"))

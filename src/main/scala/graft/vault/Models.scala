@@ -537,12 +537,38 @@ final class Models(val raw: Models.Raw) {
     * frames are key-grain). Bench times this as its own `q_dag_warm` line
     * so the one-time DAG cache fill stops being attributed to whichever
     * mart query happens to run first.
+    *
+    * The fills run as OVERLAPPED jobs from a driver thread pool (guide
+    * §2.6): each frame's fill is a small independent job whose tail leaves
+    * most executor slots idle, so running them back-to-back serialized the
+    * whole warm on the slowest chain. Two dependency waves keep a cached
+    * frame's first computation from racing its consumers: wave 1 fills the
+    * frames that depend only on raw inputs; wave 2 fills the two frames
+    * that read wave-1 caches (satNewsContent <- ephemeralNews,
+    * fctTransactions <- hubs + sat union). Values are unchanged — counts
+    * have no result the DAG consumes; this is the same concurrency a real
+    * DAG runner (dbt) uses for independent models.
     */
   def materializeShared(): this.type = {
-    Seq(hubCustomer, hubCompany, hubTransaction, hubAsset, ephemeralNews,
-      satNewsContent, ephemeralSatTransactionFull, satAssetPriceCrypto,
-      satAssetPriceStock, fctTransactions).foreach(_.count())
+    fillConcurrently(Seq(hubCustomer, hubCompany, hubTransaction, hubAsset,
+      ephemeralNews, ephemeralSatTransactionFull, satAssetPriceCrypto,
+      satAssetPriceStock))
+    fillConcurrently(Seq(satNewsContent, fctTransactions))
     this
+  }
+
+  /** Run one count-job per frame concurrently and wait for all; the first
+    * failure rethrows (same visibility as the sequential fill had).
+    */
+  private def fillConcurrently(frames: Seq[DataFrame]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(frames.size)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fills = frames.map(f => Future { f.count(); () })
+      Await.result(Future.sequence(fills), scala.concurrent.duration.Duration.Inf)
+      ()
+    } finally pool.shutdown()
   }
 
   /** Release the shared cache marked by [[persistShared]] — the teardown
