@@ -454,21 +454,33 @@ object Similarity {
     * m bytes replace dims floats (64× here).
     *
     * The m subspace trainings are independent jobs over column slices of
-    * the same scan; they share the cached input and could run from
-    * concurrent driver threads — kept sequential here for determinism of
-    * job ordering (results are identical either way).
+    * the same scan, and each training is a chain of SMALL sequential jobs
+    * (assign → means → checkpoint per iteration) that leaves most executor
+    * slots idle — so they run from concurrent driver threads (guide §2.6:
+    * overlap independent jobs to back-fill the tail). Results are identical
+    * to the sequential order: each subspace's dataflow is deterministic and
+    * they share no state.
     */
   def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
     require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val sub = dims / m
-    (0 until m).map { s =>
-      val sliced = embeddings.select(col(idCol),
-        slice(toDouble(col(vecCol)), s * sub + 1, sub).as(vecCol))
-      kmeansFit(sliced, idCol, vecCol, k, iters)
-        .withColumn("subspace", lit(s))
-    }.reduce(_ unionByName _)
-      .select(col("subspace"), col("centroid_id"), col(vecCol))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val trained = (0 until m).map { s =>
+        Future {
+          val sliced = embeddings.select(col(idCol),
+            slice(toDouble(col(vecCol)), s * sub + 1, sub).as(vecCol))
+          kmeansFit(sliced, idCol, vecCol, k, iters)
+            .withColumn("subspace", lit(s))
+        }
+      }
+      Await.result(Future.sequence(trained), scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionByName _)
+        .select(col("subspace"), col("centroid_id"), col(vecCol))
+    } finally pool.shutdown()
   }
 
   /** Encode every vector as its m-entry PQ code (nearest sub-centroid per

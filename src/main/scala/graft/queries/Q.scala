@@ -39,7 +39,25 @@ object Q {
     // reads as long; current generations store TIMESTAMP_MICROS (NTZ).
     // Adapt to whichever type actually arrives rather than assuming one.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = Graft.table(s, dir, name)
+    val raw = Graft.table(s, dir, name)
+    // Scale-adaptive scan spread (guide §2.5 "input skew — one huge
+    // unsplittable file ... repartition immediately after the read"): a
+    // compacted table can arrive as fewer splits than the cluster has
+    // slots — here each testdata table is ONE parquet file with one row
+    // group, so every map-heavy stage before the first exchange (token
+    // explodes, md5 chains, decode flatMaps, partial aggregation) ran on a
+    // single core while the rest idled. A deterministic round-robin
+    // repartition to the scheduler's slot count fixes the parallelism
+    // floor; the condition makes it a NO-OP at scale, where a 100 TB table
+    // scans as thousands of splits already >= the slot count (and
+    // `spark.sql.files.minPartitionNum` cannot help here: a one-row-group
+    // parquet file yields one non-empty split no matter how it is ranged).
+    // Row placement does not affect results: every registered query is
+    // partitioning-insensitive by design (decimal sums / ordered folds,
+    // hash-gate-proven across replicated corpora with different layouts).
+    val target = s.sparkContext.defaultParallelism
+    val df =
+      if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
     val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case TimestampType => d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
