@@ -18,13 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object TablePersist {
 
-  /** Append `df` partitioned by the date of `tsCol`. */
+  /** Append `df` partitioned by the date of `tsCol`.
+    *
+    * Rows are CLUSTERED by the partition value before the write (guide §6:
+    * hash write distribution): a partitionBy writer opens one file per
+    * date value per task, so an N-way-parallel upstream otherwise writes
+    * up to N small files into every date directory — paid again by every
+    * later scan (listing + per-file open). One shuffle at write time keeps
+    * file count ≈ date count at any upstream parallelism.
+    */
   def appendPartitioned(
       df: DataFrame,
       path: String,
       tsCol: String,
       sortCols: Seq[String] = Seq()): Unit = {
     val withDate = df.withColumn("load_date", to_date(col(tsCol)))
+      .repartition(col("load_date"))
     val arranged =
       if (sortCols.nonEmpty) withDate.sortWithinPartitions(sortCols.map(col): _*)
       else withDate

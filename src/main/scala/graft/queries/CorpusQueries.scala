@@ -2646,11 +2646,22 @@ object CorpusQueries {
           lit("</body></html>"))
         val pages = docs.select(id, html.as("html"), urlExpr(id).as("url"))
 
+        // the two hottest intermediates are STAGED (persist → compute the
+        // 5-row summary → eager-release): the five stage-summary branches
+        // are a union, and map-side work is not deduplicated across union
+        // branches the way exchange output is — without the persists the
+        // html fixture build + htmlExtract regex chain ran once per branch
+        // that reads it (5x) and the C4 pass 4x (guide §1.2 "don't compute
+        // things you throw away"). Same persist-then-eager-release
+        // discipline as q_training_pipeline's s2; a real pipeline
+        // materializes stage outputs between stages for the same reason.
         val ext = Curation.htmlExtract(pages, "doc_id", "html")
           .select(col("doc_id"), col("clean_text").as("t1"))
+          .persist()
         val c4 = Curation.c4Filter(ext, "doc_id", "t1", blocklist = Seq("badword"))
         val c4kept = c4.filter(col("keep"))
           .select(col("doc_id"), col("clean_text").as("t2"))
+          .persist()
         val winners = Curation.urlDedup(
             c4kept.join(pages.select(id, col("url")), "doc_id"), "doc_id", "url")
           .select(col("keep_doc_id").as("doc_id"))
@@ -2669,11 +2680,18 @@ object CorpusQueries {
               coalesce(col("__d"), lit(0L)).as("n_docs"),
               coalesce(col("__t"), lit(0L)).as("n_tokens"))
 
-        stage(ext, "t1", 1, "html_extract")
+        // eager: materialize the 5 summary rows NOW so the stage caches
+        // release here instead of leaking storage for the session lifetime
+        // (the q_training_pipeline discipline)
+        val out = stage(ext, "t1", 1, "html_extract")
           .unionByName(stage(c4kept, "t2", 2, "c4_filter"))
           .unionByName(stage(s3, "t2", 3, "url_dedup"))
           .unionByName(stage(s4, "t3", 4, "paragraph_dedup"))
           .unionByName(stage(s5, "t4", 5, "exact_substr_strip"))
+          .localCheckpoint(true, Checkpoints.Ser)
+        ext.unpersist()
+        c4kept.unpersist()
+        out
       },
       Some(UrlCanonSql + """
         , tkl AS (

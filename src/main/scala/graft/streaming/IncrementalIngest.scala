@@ -83,6 +83,13 @@ object IncrementalIngest {
   def idempotentAppendPartitioned(batch: DataFrame, targetPath: String,
       keys: Seq[String], tsCol: String): Unit =
     pendingRows(batch, targetPath, keys, tsCol)
+      // cluster by the partition value before the partitionBy write (guide
+      // §6 hash write distribution): the anti-join upstream leaves the
+      // batch N-way partitioned, and an unclustered writer opens one file
+      // per date PER TASK — every later conflict-guard scan then pays the
+      // small-files listing+open tax. One micro-batch-sized shuffle keeps
+      // file count ≈ date count.
+      .repartition(col("load_date"))
       .write.mode("append").partitionBy("load_date").parquet(targetPath)
 
   private def targetExists(spark: SparkSession, path: String): Boolean = {
