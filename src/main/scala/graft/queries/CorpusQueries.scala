@@ -2456,9 +2456,17 @@ object CorpusQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val ntok = size(TextFns.tokens(col("text"))).cast("long")
-        val s1 = docs.join(
-          Curation.gopherSignals(docs, "doc_id", "text")
-            .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        // the gate-id frame is TINY (ids only) but its producer is the
+        // full Gopher signal pass (token explode + two aggregations over
+        // every doc); it is consumed by two separate query executions —
+        // the s2 cache fill (during the CC pair build) and the stage-1
+        // summary branch of the final action — and exchange reuse never
+        // spans executions, so without the persist the whole gate ran
+        // twice (§1.2 "don't compute things you throw away"; §8: decide
+        // with small rows). Released after the eager summary checkpoint.
+        val s1ids = Curation.gopherSignals(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id").persist()
+        val s1 = docs.join(s1ids, Seq("doc_id"))
         val fp = md5(array_join(array_sort(array_distinct(TextFns.tokens(col("text")))), " "))
         val keep2 = s1.select(col("doc_id"), fp.as("__fp"))
           .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
@@ -2501,6 +2509,7 @@ object CorpusQueries {
           // (the winnowMatches lesson)
           .localCheckpoint(true, Checkpoints.Ser)
         s2.unpersist()
+        s1ids.unpersist()
         out
       },
       Some("""
